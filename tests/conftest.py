@@ -1,0 +1,65 @@
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+# Force a CPU mesh with 8 virtual devices for sharding tests; single real
+# TPU is exercised only by bench.py.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+prev = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in prev:
+    os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+REFSHIM = REPO / "native" / "refshim"
+REF_HMM = REFSHIM / "ref_hmm"
+REF_NW = REFSHIM / "ref_nw"
+
+
+def _build(target: str, sources):
+    exe = REFSHIM / target
+    srcs = [str(s) for s in sources]
+    newest = max(os.path.getmtime(s) for s in srcs if os.path.exists(s))
+    if exe.exists() and os.path.getmtime(exe) > newest:
+        return exe
+    cmd = ["g++", "-O2", "-std=c++11", "-Wno-deprecated",
+           "-include", str(REFSHIM / "stringhash_preempt.h"),
+           "-I", str(REFSHIM), "-I", "/root/reference",
+           *srcs, "-o", str(exe)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    return exe
+
+
+def ref_hmm_exe():
+    """Build (if possible) the reference-HMM differential driver."""
+    if not Path("/root/reference/ObservationModelFB.cpp").exists():
+        return None
+    return _build("ref_hmm", [REFSHIM / "hmm_driver.cpp",
+                              "/root/reference/ObservationModelFB.cpp"])
+
+
+def ref_nw_exe():
+    """Build (if possible) the reference-SeqAn-NW differential driver."""
+    if not Path("/root/reference/seqan_library").exists():
+        return None
+    exe = REFSHIM / "ref_nw"
+    src = REFSHIM / "nw_driver.cpp"
+    if not src.exists():
+        return None
+    if exe.exists() and os.path.getmtime(exe) > os.path.getmtime(src):
+        return exe
+    cmd = ["g++", "-O2", "-std=c++11", "-Wno-deprecated",
+           "-include", str(REFSHIM / "stringhash_preempt.h"),
+           "-I", str(REFSHIM), "-I", "/root/reference",
+           "-I", "/root/reference/seqan_library",
+           str(src), "-o", str(exe)]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return None
+    return exe
