@@ -53,7 +53,7 @@ def ref_nw_exe():
         return None
     if exe.exists() and os.path.getmtime(exe) > os.path.getmtime(src):
         return exe
-    cmd = ["g++", "-O2", "-std=c++11", "-Wno-deprecated",
+    cmd = ["g++", "-O2", "-std=c++11", "-fpermissive", "-w",
            "-include", str(REFSHIM / "stringhash_preempt.h"),
            "-I", str(REFSHIM), "-I", "/root/reference",
            "-I", "/root/reference/seqan_library",
