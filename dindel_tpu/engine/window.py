@@ -1,0 +1,248 @@
+"""Per-window realignment engine: haplotype generation, read-vs-haplotype
+likelihoods, and dispatch to the diploid/pooled callers.
+
+Ports DetInDel::detectIndels (DInDel.cpp:1265-1422),
+empiricalDistributionMethod (:380-640), getHaplotypes (:1526-1645),
+alignHaplotypes (:1427-1524) and computeLikelihoods (:1707-1739).
+
+The pair-HMM backend is pluggable: 'oracle' (NumPy float64 reference
+implementation) or 'jax' (batched device kernel, see hmm/batch.py)."""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Set, Tuple
+
+from ..config import Parameters
+from ..model import Haplotype, LibraryCollection, MLAlignment, Read, HPOS_LO, HPOS_RO
+from ..out.glf import OutputData, make_glf_output
+from ..variants import AlignedCandidates, read_window_file
+from ..io.fasta import FastaFile
+from ..io.bam import BamReader
+from ..align.nw import align_haplotype_to_ref
+from ..hmm.reference import pair_hmm_single
+from ..infer.filterhaps import filter_haplotypes
+from ..infer.diploid import diploid_glf, _WindowThrow
+from ..infer.pooled import estimate_hap_freqs_bayes_em
+from .hapgen import HapGenError, HaplotypeDistribution, HDIterator
+from .reads import ReadBuffer, WindowError, get_reads
+
+
+class WindowEngine:
+    def __init__(self, bam_paths: List[str], fasta_path: str,
+                 params: Parameters, libraries: Optional[LibraryCollection] = None,
+                 hmm_backend: str = "jax"):
+        self.bams = [BamReader(p) for p in bam_paths]
+        self.fasta = FastaFile(fasta_path)
+        self.params = params
+        self.libraries = libraries if libraries is not None else LibraryCollection()
+        self.buf = ReadBuffer()
+        self.hmm_backend = hmm_backend
+        self._batch_hmm = None
+        if hmm_backend == "jax":
+            from ..hmm.batch import BatchedPairHMM
+            self._batch_hmm = BatchedPairHMM(params.obs_params)
+
+    # ------------------------------------------------------------------
+    def get_ref_seq(self, lpos: int, rpos: int) -> str:
+        """DetInDel::getRefSeq (DInDel.cpp:269-287): 1-based inclusive."""
+        return self.fasta.get_sequence(self.params.tid, lpos, rpos)
+
+    # ------------------------------------------------------------------
+    def align_haplotypes(self, haps: List[Haplotype], pos: int, left_pos: int,
+                         right_pos: int) -> Tuple[List[Haplotype], Dict[int, List]]:
+        """DetInDel::alignHaplotypes (DInDel.cpp:1427-1524)."""
+        variants: Dict[int, List] = {}
+        ref_seq = self.get_ref_seq(left_pos + 1, right_pos + 1)
+        kept: List[Haplotype] = []
+        for hap in haps:
+            ml = align_haplotype_to_ref(ref_seq, hap.seq)
+            hap.indels = dict(ml.indels)
+            hap.snps = dict(ml.snps)
+            hap.align = ml.align
+            hap.ml = ml
+            has_start_end_indel = False
+            if ml.hpos and ml.hpos[0] == HPOS_LO:
+                has_start_end_indel = True
+            if len(ml.hpos) > 1 and ml.hpos[-1] == HPOS_RO:
+                has_start_end_indel = True
+            for p, av in hap.indels.items():
+                variants.setdefault(p, [])
+                if not any(v.str == av.str for v in variants[p]):
+                    variants[p].append(av)
+            for p, av in hap.snps.items():
+                variants.setdefault(p, [])
+                if not any(v.str == av.str for v in variants[p]):
+                    variants[p].append(av)
+            if not has_start_end_indel:
+                kept.append(hap)
+        for p in variants:
+            for hap in kept:
+                hap.add_ref_variant(p)
+        return kept, variants
+
+    # ------------------------------------------------------------------
+    def get_haplotypes(self, reads: List[Read], pos: int, left_pos: int,
+                       right_pos: int, candidates: AlignedCandidates
+                       ) -> Tuple[bool, List[Haplotype], int, int]:
+        """DetInDel::getHaplotypes (DInDel.cpp:1526-1645).
+        Returns (skip, haps, new_left_pos, new_right_pos)."""
+        p = self.params
+        rs = left_pos - p.min_read_overlap if left_pos > p.min_read_overlap else 0
+        re = right_pos + p.min_read_overlap
+        ref_seq = self.get_ref_seq(rs + 1, re + 1)
+
+        hd = HaplotypeDistribution(pos, ref_seq, rs)
+        for r in reads:
+            hd.insert_read(r.bam)
+        hd.set_frequencies()
+
+        try:
+            hdi = HDIterator(hd, p.max_hap, pos, left_pos, right_pos,
+                             p.no_indel_window)
+            if hdi.get_log_num_haps() > math.log(p.skip_max_hap):
+                return True, [], left_pos, right_pos
+            haps = hdi.generate_haps_with_aligned_variants(
+                candidates, p.change_ins_to_n)
+            if len(haps) > p.skip_max_hap or len(haps) * len(reads) > p.max_hap_read_prod:
+                return True, [], left_pos, right_pos
+            left_pos = hdi.start()
+            right_pos = hdi.end()
+            haps, _variants = self.align_haplotypes(haps, pos, left_pos, right_pos)
+            # remove duplicate reference-haplotypes (DInDel.cpp:1600-1616)
+            tmp: List[Haplotype] = []
+            found_ref = False
+            for hap in haps:
+                if hap.count_indels() == 0 and hap.count_snps() == 0:
+                    if not found_ref:
+                        tmp.append(hap)
+                        found_ref = True
+                else:
+                    tmp.append(hap)
+            haps = tmp
+        except HapGenError as e:
+            if str(e) == "Blocks are not consecutive.":
+                raise WindowError("hapblock")
+            raise WindowError(str(e))
+        return False, haps, left_pos, right_pos
+
+    # ------------------------------------------------------------------
+    def compute_likelihoods(self, haps: List[Haplotype], reads: List[Read],
+                            left_pos: int) -> Tuple[List[List[MLAlignment]], List[int]]:
+        """DetInDel::computeLikelihoods (DInDel.cpp:1707-1739): liks[h][r]."""
+        if self._batch_hmm is not None:
+            liks = self._batch_hmm.compute(haps, reads, left_pos)
+        else:
+            liks = [[pair_hmm_single(hap, r, left_pos, self.params.obs_params)
+                     for r in reads] for hap in haps]
+        on_hap = [0] * len(reads)
+        for h in range(len(haps)):
+            for r in range(len(reads)):
+                ml = liks[h][r]
+                if not ml.off_hap_hmq:
+                    on_hap[r] = 1
+                if ml.ll > 0.1:
+                    raise RuntimeError("Likelihood>0")
+                if math.isnan(ml.ll) or math.isinf(ml.ll):
+                    raise WindowError("Nan detected")
+        return liks, on_hap
+
+    # ------------------------------------------------------------------
+    def empirical_distribution_method(self, index: int, reads: List[Read],
+                                      pos: int, left_pos: int, right_pos: int,
+                                      candidates: AlignedCandidates,
+                                      glf_data: Optional[OutputData]) -> List[dict]:
+        """DetInDel::empiricalDistributionMethod (DInDel.cpp:380-640)."""
+        p = self.params
+        skip, haps, left_pos, right_pos = self.get_haplotypes(
+            reads, pos, left_pos, right_pos, candidates)
+        if len(reads) * len(haps) > p.max_hap_read_prod:
+            raise WindowError(f"skipped_numhap_times_numread>{p.max_hap_read_prod}")
+        rows: List[dict] = []
+        if skip:
+            return rows
+
+        if p.estimate_hap_freqs:  # --doPooled
+            liks, on_hap = self.compute_likelihoods(haps, reads, left_pos)
+            filtered, var_coverage = filter_haplotypes(
+                haps, reads, liks, p, p.filter_haplotypes)
+            _freqs, _post, emrows = estimate_hap_freqs_bayes_em(
+                haps, reads, liks, pos, left_pos, right_pos, glf_data, index,
+                candidates, p, filtered, var_coverage, len(self.bams),
+                p.bayes_type)
+            rows.extend(emrows)
+        if p.do_diploid:
+            liks, on_hap = self.compute_likelihoods(haps, reads, left_pos)
+            filtered, var_coverage = filter_haplotypes(
+                haps, reads, liks, p, p.filter_haplotypes)
+            try:
+                rows.extend(diploid_glf(haps, reads, liks, pos, left_pos,
+                                        right_pos, glf_data, index, candidates,
+                                        p, filtered, var_coverage, "dip"))
+            except _WindowThrow as e:
+                raise WindowError(str(e))
+        return rows
+
+    # ------------------------------------------------------------------
+    def detect_indels(self, var_file: str, glf_path: Optional[str] = None):
+        """DetInDel::detectIndels (DInDel.cpp:1265-1422): loop over window
+        lines with per-window fault isolation (error_* rows)."""
+        p = self.params
+        if glf_path is None:
+            glf_path = p.file_name + ".glf.txt"
+        out = open(glf_path, "w")
+        glf_data = make_glf_output(out)
+        glf_data.write_header()
+
+        index = 0
+        old_tid = "-1"
+        self.buf = ReadBuffer()
+        self.buf.reset = True
+        all_rows = []
+        for candidates in read_window_file(var_file, p.var_file_is_one_based):
+            index += 1
+            left_pos = candidates.left_pos
+            right_pos = candidates.right_pos
+            pos = candidates.center_pos
+            p.tid = candidates.tid
+            if p.tid != old_tid:
+                self.buf.reset = True
+                old_tid = p.tid
+                self.buf.old_left_pos = 0
+            if left_pos < self.buf.old_left_pos:
+                raise RuntimeError(
+                    "Candidate variant files must be sorted on left position of window!")
+            message = "ok"
+            skipped = False
+            try:
+                reads = get_reads(self.bams, p.tid, left_pos, right_pos, p,
+                                  self.libraries, self.buf)
+                self.buf.reset = False
+                rows = self.empirical_distribution_method(
+                    index, reads, pos, left_pos, right_pos, candidates, glf_data)
+                all_rows.extend(rows)
+            except WindowError as e:
+                message = "error_" + str(e).replace(" ", "_")
+                skipped = True
+            except MemoryError:
+                message = "error_bad_alloc"
+                skipped = True
+            if skipped:
+                line = glf_data.line()
+                line.set("msg", message)
+                line.set("index", index)
+                line.set("tid", p.tid)
+                line.set("lpos", left_pos)
+                line.set("rpos", right_pos)
+                glf_data.output(line)
+                self.buf.reset = True
+            else:
+                self.buf.reset = False
+            self.buf.old_left_pos = left_pos
+        out.close()
+        return all_rows
+
+    def close(self):
+        for b in self.bams:
+            b.close()
+        self.fasta.close()

@@ -1,0 +1,545 @@
+"""Batched pair-HMM for TPU: scores every (haplotype, read) pair of a
+window in one device program.
+
+Numerical contract: ObservationModelFBMaxErr (see hmm/reference.py, which
+this module must match bit-for-bit in float64). Design notes:
+
+- Fixed state layout per bucket: x in {0=LO, 1..H_pad, H_pad+1=RO} x
+  insertion flag; per-pair true hap length Hh < H_pad is handled by mapping
+  "beyond hap end" to the fixed RO index (gather-free via shifted V-arrays)
+  and by masking dead states to -1e30 every step.
+- The reference runs the forward (Dec) recursion only up to the per-read
+  anchor bMid and the backward (Inc) recursion down to it.  We run both
+  recursions over the full read uniformly (SPMD-friendly; 2x the minimal
+  work but no data-dependent trip counts) and select the bMid slice per
+  pair on the fly.
+- updateMax's EPS/tie-to-lower-index rule (ObservationModelFB.cpp:877-888)
+  is reproduced exactly by folding candidates in the reference's program
+  order; the bMid-slice likelihood fold (:1096-1117) is an order-dependent
+  scan over states and is emulated with lax.scan.
+- Backpointers for both directions are stored (L x B x S int32) and the
+  MAP path is reconstructed with two short scans; per-read variant events
+  are extracted on host (hmm/reference._report_variants) for parity.
+
+The same jitted function runs on CPU (float64, bit-parity tests) and TPU
+(float32 by default; see bench.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import ObservationModelParameters
+from ..model import Haplotype, MLAlignment, Read
+from .reference import (EPS, TIE, _Trans, _report_variants, compute_b_mid,
+                        compute_b_mid_prior, hp_log_prob_error)
+
+NEGBIG = -1.0e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _fold(dest_v, dest_i, cand_v, cand_i):
+    """One updateMax step, vectorized (exact port of
+    ObservationModelFB.cpp:877-888)."""
+    take = cand_v > dest_v + EPS
+    tie = (cand_v >= dest_v) & (cand_v <= dest_v + TIE) & (dest_i > cand_i)
+    take = take | tie
+    return jnp.where(take, cand_v, dest_v), jnp.where(take, cand_i, dest_i)
+
+
+@partial(jax.jit, static_argnames=("H_pad", "L_pad", "numT"))
+def _hmm_forward(H_pad, L_pad, numT,
+                 hap_len,        # (B,) int32  true hap length Hh
+                 read_len,       # (B,) int32
+                 b_mid,          # (B,) int32
+                 read_codes,     # (B, L_pad) int8 (ACGT/N as uint8 ascii)
+                 hap_codes,      # (B, H_pad) int8
+                 eq,             # (B, L_pad)  log(.25+.75 pr)
+                 uq,             # (B, L_pad)  log(.75+1e-10-.75 pr)
+                 lpe,            # (B, S_half) homopolymer log err
+                 lpn,            # (B, S_half)
+                 lpeV,           # (B, S_half + numT) clamped-to-RO variant
+                 lpnV,           # (B, S_half + numT)
+                 prior_rmq,      # (B, S) bMid prior with real mapQual
+                 prior_hmq,      # (B, S) with mapQual 1-1e-10
+                 scalars,        # (4,) logpLOgLO, logpFirstgLO, logpInsgIns, pError-derived
+                 ):
+    B = hap_len.shape[0]
+    S_half = H_pad + 2
+    S = 2 * S_half
+    RO = H_pad + 1
+    dtype = eq.dtype
+
+    # all derived constants precomputed on host with libm (bit-parity with
+    # the reference's setupTransitionProbs)
+    logpLOgLO, logpFirstgLO, logpInsgIns, logpNoInsgIns, logpNoInsgNoIns = (
+        scalars[0], scalars[1], scalars[2], scalars[3], scalars[4])
+
+    xs_state = jnp.arange(S_half, dtype=jnp.int32)[None, :]          # (1, S_half)
+    live = (xs_state <= hap_len[:, None]) | (xs_state == RO)         # (B, S_half)
+    live2 = jnp.concatenate([live, live], axis=1)                    # (B, S)
+    idx_base = jnp.arange(S, dtype=jnp.int32)[None, :].repeat(B, 0)  # (B, S)
+
+    # idxV[j] = j if j <= Hh else RO, for j in 0..S_half+numT-1
+    j_idx = jnp.arange(S_half + numT, dtype=jnp.int32)[None, :]
+    idxV = jnp.where(j_idx <= hap_len[:, None], j_idx, RO)           # (B, S_half+numT)
+
+    hl = hap_len[:, None]
+
+    def obs_slice(b):
+        """Observation potentials at read base b: (B, S)."""
+        rb = read_codes[:, b][:, None]                                # (B,1)
+        e = eq[:, b][:, None]
+        u = uq[:, b][:, None]
+        mismatch = (hap_codes != rb) & (hap_codes != ord("N"))        # (B, H_pad)
+        on = jnp.where(mismatch, u, e)                                # (B, H_pad)
+        noins = jnp.concatenate([e, on, e], axis=1)                   # (B, S_half)
+        ins = jnp.broadcast_to(e, (B, S_half)).astype(dtype)
+        return jnp.concatenate([noins, ins], axis=1)
+
+    def gather_col(M, col):
+        """M: (B, K), col: (B,) -> (B,) M[i, col[i]]."""
+        return jnp.take_along_axis(M, col[:, None], axis=1)[:, 0]
+
+    # ------------------------------------------------------------------
+    # Dec pass: alpha[b] from alpha[b-1] (read position increasing)
+    # FBMaxErr::passMessageTwoDec (ObservationModelFB.cpp:1775-1829)
+    # ------------------------------------------------------------------
+    def dec_step(A, O):
+        W = A + O                                                     # (B, S)
+        Wn = W[:, :S_half]
+        Wi = W[:, S_half:]
+        val = jnp.full((B, S), NEGBIG, dtype=dtype)
+        bti = idx_base
+        v = val
+        i = bti
+
+        # dest noins RO: candidates in program order
+        dRO_v = jnp.full((B,), NEGBIG, dtype=dtype)
+        dRO_i = jnp.full((B,), RO, dtype=jnp.int32)
+        dRO_v, dRO_i = _fold(dRO_v, dRO_i,
+                             W[:, RO] + logpLOgLO + logpNoInsgNoIns,
+                             jnp.full((B,), RO, jnp.int32))
+        WnH = gather_col(Wn, hap_len)                                 # W[Hh]
+        dRO_v, dRO_i = _fold(dRO_v, dRO_i,
+                             WnH + logpFirstgLO + logpNoInsgNoIns, hap_len)
+
+        # dest noins x in 1..H_pad: deletion/match candidates y = 1..numT-1
+        dx_v = jnp.full((B, S_half), NEGBIG, dtype=dtype)
+        dx_i = idx_base[:, :S_half]
+        x_idx = xs_state  # (1, S_half)
+        for y in range(1, numT):
+            # src = max(x - y, 0)
+            src_idx = jnp.maximum(x_idx - y, 0)                      # (1, S_half)
+            srcW = jnp.take_along_axis(
+                Wn, jnp.broadcast_to(src_idx, (B, S_half)), axis=1)
+            lp = lpn if y == 1 else (lpe + (y - 1) * logpInsgIns)
+            cand = srcW + lp + lpn
+            dx_v, dx_i = _fold(dx_v, dx_i, cand,
+                               jnp.broadcast_to(src_idx, (B, S_half)))
+        # dest noins 0: assign (overwrites)
+        d0_v = W[:, 0] + logpNoInsgNoIns
+        d0_i = jnp.zeros((B,), jnp.int32)
+
+        # dest RO: insertion exits
+        dRO_v, dRO_i = _fold(dRO_v, dRO_i,
+                             W[:, S_half + RO] + logpLOgLO + lpe[:, RO],
+                             jnp.full((B,), S_half + RO, jnp.int32))
+        WiH = gather_col(Wi, hap_len)
+        lpeH = gather_col(lpe, hap_len)
+        dRO_v, dRO_i = _fold(dRO_v, dRO_i,
+                             WiH + logpFirstgLO + lpeH, S_half + hap_len)
+
+        # dest noins x in 1..Hh: insertion exit from ins (x-1)
+        src_idx = jnp.maximum(x_idx - 1, 0)
+        srcWi = jnp.take_along_axis(
+            Wi, jnp.broadcast_to(src_idx, (B, S_half)), axis=1)
+        cand = srcWi + lpe
+        dx_v, dx_i = _fold(dx_v, dx_i, cand,
+                           S_half + jnp.broadcast_to(src_idx, (B, S_half)))
+
+        # dest ins x (all): extension assign
+        di_v = Wi + logpInsgIns
+        di_i = idx_base[:, S_half:]
+
+        # dest ins x in 1..Hh and ins-RO: open from noins x
+        open_cand = Wn + logpNoInsgIns
+        open_ok = (x_idx >= 1)  # x=0 excluded
+        di_v2, di_i2 = _fold(di_v, di_i,
+                             jnp.where(open_ok, open_cand, NEGBIG),
+                             jnp.where(open_ok, idx_base[:, :S_half], di_i))
+        di_v, di_i = di_v2, di_i2
+
+        # assemble noins half: x=0 -> d0, x=RO -> dRO, else dx
+        noins_v = dx_v.at[:, 0].set(d0_v).at[:, RO].set(dRO_v)
+        noins_i = dx_i.at[:, 0].set(d0_i).at[:, RO].set(dRO_i)
+        newA = jnp.concatenate([noins_v, di_v], axis=1)
+        newI = jnp.concatenate([noins_i, di_i], axis=1)
+        newA = jnp.where(live2, newA, NEGBIG)
+        newI = jnp.where(live2, newI, idx_base)
+        return newA, newI
+
+    # ------------------------------------------------------------------
+    # Inc pass: beta[b-1] from beta[b]
+    # FBMaxErr::passMessageTwoInc (ObservationModelFB.cpp:1715-1773)
+    # ------------------------------------------------------------------
+    def inc_step(Bt, O):
+        W = Bt + O
+        Wn = W[:, :S_half]
+        Wi = W[:, S_half:]
+        WnRO = Wn[:, RO][:, None]
+        # V_n[j] = Wn[j] if j<=Hh else Wn[RO], extended to S_half+numT
+        Vn_core = jnp.where(xs_state <= hl, Wn, WnRO)
+        Vn = jnp.concatenate(
+            [Vn_core, jnp.broadcast_to(WnRO, (B, numT)).astype(dtype)], axis=1)
+
+        x_idx = xs_state
+
+        # dest noins 0
+        d0_v = jnp.full((B,), NEGBIG, dtype=dtype)
+        d0_i = jnp.zeros((B,), jnp.int32)
+        d0_v, d0_i = _fold(d0_v, d0_i,
+                           W[:, 0] + logpLOgLO + logpNoInsgNoIns,
+                           jnp.zeros((B,), jnp.int32))
+        d0_v, d0_i = _fold(d0_v, d0_i,
+                           W[:, 1] + logpFirstgLO + logpNoInsgNoIns,
+                           jnp.ones((B,), jnp.int32))
+
+        # dest noins x in 1..Hh: y = 1..numT-1, src = clamp(x+y)
+        dx_v = jnp.full((B, S_half), NEGBIG, dtype=dtype)
+        dx_i = idx_base[:, :S_half]
+        for y in range(1, numT):
+            srcW = lax.dynamic_slice_in_dim(Vn, y, S_half, axis=1)
+            src_lpn = lax.dynamic_slice_in_dim(lpnV, y, S_half, axis=1)
+            src_lpe = lax.dynamic_slice_in_dim(lpeV, y, S_half, axis=1)
+            src_i = lax.dynamic_slice_in_dim(idxV, y, S_half, axis=1)
+            lp = src_lpn if y == 1 else (src_lpe + (y - 1) * logpInsgIns)
+            cand = lp + src_lpn + srcW
+            dx_v, dx_i = _fold(dx_v, dx_i, cand, src_i)
+
+        # dest noins RO
+        dRO_v = jnp.full((B,), NEGBIG, dtype=dtype)
+        dRO_i = jnp.full((B,), RO, jnp.int32)
+        dRO_v, dRO_i = _fold(dRO_v, dRO_i, W[:, RO] + lpn[:, RO],
+                             jnp.full((B,), RO, jnp.int32))
+
+        # dest noins x in 0..Hh: ins open (src ins x, cost lpe[x+1]);
+        # x = RO: cost 0
+        lpe_x1 = jnp.concatenate(
+            [lpe[:, 1:], jnp.zeros((B, 1), dtype)], axis=1)           # lpe[x+1]
+        cost = jnp.where(x_idx == RO, jnp.zeros((), dtype), lpe_x1)
+        cand = Wi + cost
+        dx_v, dx_i = _fold(dx_v, dx_i, cand, S_half + idx_base[:, :S_half])
+        # merge the x=0 / RO lanes computed separately
+        dx0_v, dx0_i = _fold(d0_v, d0_i, cand[:, 0],
+                             jnp.full((B,), S_half + 0, jnp.int32))
+        dxRO_v, dxRO_i = _fold(dRO_v, dRO_i, cand[:, RO],
+                               jnp.full((B,), S_half + RO, jnp.int32))
+
+        # dest ins x: extension assign
+        di_v = Wi + logpInsgIns
+        di_i = idx_base[:, S_half:]
+        # dest ins 0: exit to noins 0
+        di0_v, di0_i = _fold(di_v[:, 0], di_i[:, 0],
+                             Wn[:, 0] + logpNoInsgIns,
+                             jnp.zeros((B,), jnp.int32))
+        # dest ins x in 1..H_pad+1: exit to noins clamp(x+1)
+        srcW = lax.dynamic_slice_in_dim(Vn, 1, S_half, axis=1)
+        src_i = lax.dynamic_slice_in_dim(idxV, 1, S_half, axis=1)
+        exit_ok = x_idx >= 1
+        di_v2, di_i2 = _fold(di_v, di_i,
+                             jnp.where(exit_ok, srcW + logpNoInsgIns, NEGBIG),
+                             jnp.where(exit_ok, src_i, di_i))
+        di_v = di_v2.at[:, 0].set(di0_v)
+        di_i = di_i2.at[:, 0].set(di0_i)
+
+        noins_v = dx_v.at[:, 0].set(dx0_v).at[:, RO].set(dxRO_v)
+        noins_i = dx_i.at[:, 0].set(dx0_i).at[:, RO].set(dxRO_i)
+        newB = jnp.concatenate([noins_v, di_v], axis=1)
+        newI = jnp.concatenate([noins_i, di_i], axis=1)
+        newB = jnp.where(live2, newB, NEGBIG)
+        newI = jnp.where(live2, newI, idx_base)
+        return newB, newI
+
+    # ------------------------------------------------------------------
+    # scans
+    # ------------------------------------------------------------------
+    zero_state = jnp.zeros((B, S), dtype=dtype)
+
+    def fwd_body(carry, b):
+        A, a_mid = carry
+        O = obs_slice(b - 1)
+        newA, btf_b = dec_step(A, O)
+        a_mid = jnp.where((b_mid == b)[:, None], newA, a_mid)
+        return (newA, a_mid), btf_b
+
+    (A_last, alpha_mid), btf = lax.scan(
+        fwd_body, (zero_state, zero_state), jnp.arange(1, L_pad))
+    alpha_mid = jnp.where((b_mid == 0)[:, None],
+                          zero_state, alpha_mid)
+
+    def bwd_body(carry, b):
+        Bt, b_mid_acc = carry
+        O = obs_slice(b)
+        newB, btb_b = inc_step(Bt, O)
+        # padded slices: beta[b-1] = 0 when b-1 >= read_len-1
+        pad = ((b - 1) >= (read_len - 1))[:, None]
+        newB = jnp.where(pad, zero_state, newB)
+        btb_b = jnp.where(pad, idx_base, btb_b)
+        b_mid_acc = jnp.where((b_mid == (b - 1))[:, None], newB, b_mid_acc)
+        return (newB, b_mid_acc), btb_b
+
+    beta_init = zero_state
+    beta_mid_init = jnp.where((b_mid == (L_pad - 1))[:, None],
+                              zero_state, zero_state)
+    (B_last, beta_mid), btb_rev = lax.scan(
+        bwd_body, (beta_init, beta_mid_init), jnp.arange(L_pad - 1, 0, -1))
+    beta_mid = jnp.where((b_mid == (L_pad - 1))[:, None], zero_state, beta_mid)
+    # also handle b_mid == read_len-1 < L_pad-1: beta there is 0 by pad rule;
+    # the accumulator already captured it (newB was zeroed).
+
+    # btb[b] for b = 0..L_pad-2 in increasing order
+    btb = btb_rev[::-1]
+
+    # ------------------------------------------------------------------
+    # bMid-slice likelihood folds (calcLikelihoodFromLastSlice,
+    # ObservationModelFB.cpp:1075-1144)
+    # ------------------------------------------------------------------
+    obs_mid = _gather_slices(obs_slice, b_mid, B, S, L_pad, dtype)
+    base = alpha_mid + obs_mid + beta_mid                             # (B, S)
+    vr = base + prior_rmq
+    vh = base + prior_hmq
+
+    def lik_fold(carry, x):
+        ll, idxR, llH, idxH, off0, off1 = carry
+        v = vr[:, x]
+        w = vh[:, x]
+        takeR = v > ll + EPS
+        ll = jnp.where(takeR, v, ll)
+        idxR = jnp.where(takeR, x, idxR)
+        takeH = w > llH + EPS
+        llH = jnp.where(takeH, w, llH)
+        idxH = jnp.where(takeH, x, idxH)
+        xm = x % S_half
+        is0 = xm == 0
+        isRO = xm == RO
+        off0 = jnp.where(is0 & (v > off0), v, off0)
+        off1 = jnp.where((~is0) & (~isRO) & (v > off1), v, off1)
+        return (ll, idxR, llH, idxH, off0, off1), None
+
+    neg = jnp.full((B,), -jnp.inf, dtype=dtype)
+    zero_i = jnp.zeros((B,), jnp.int32)
+    (ll, map_rmq, ll_hmq, s_mid, ll_off, ll_on), _ = lax.scan(
+        lik_fold, (neg, zero_i, neg, zero_i, neg, neg),
+        jnp.arange(S, dtype=jnp.int32))
+
+    # ------------------------------------------------------------------
+    # MAP state reconstruction
+    # ------------------------------------------------------------------
+    def down_body(cur, t):
+        b = t  # slice index from L_pad-1 down to 1
+        bt_b = btf[b - 1]  # btf stacked over b=1..L_pad-1 -> index b-1
+        nxt = jnp.take_along_axis(bt_b, cur[:, None], axis=1)[:, 0]
+        cur2 = jnp.where(b <= b_mid, nxt, cur)
+        return cur2, cur2
+
+    _, down_states = lax.scan(down_body, s_mid,
+                              jnp.arange(L_pad - 1, 0, -1))
+    # down_states[t] corresponds to mapState[b-1] for b = L_pad-1-t
+    down_states = down_states[::-1]  # now index b-1 = 0..L_pad-2
+
+    def up_body(cur, b):
+        bt_b = btb[b]
+        nxt = jnp.take_along_axis(bt_b, cur[:, None], axis=1)[:, 0]
+        cur2 = jnp.where(b >= b_mid, nxt, cur)
+        return cur2, cur2
+
+    _, up_states = lax.scan(up_body, s_mid, jnp.arange(0, L_pad - 1))
+    # up_states[b] = mapState[b+1] when b >= b_mid
+
+    b_axis = jnp.arange(L_pad, dtype=jnp.int32)[None, :]
+    ms_down = jnp.concatenate([down_states.transpose(1, 0),
+                               s_mid[:, None]], axis=1)   # index b: down for b<=...
+    ms_up = jnp.concatenate([s_mid[:, None],
+                             up_states.transpose(1, 0)], axis=1)
+    map_state = jnp.where(b_axis < b_mid[:, None], ms_down,
+                          jnp.where(b_axis > b_mid[:, None], ms_up,
+                                    s_mid[:, None]))
+
+    off_hap_hmq = ((s_mid % S_half) == 0) | ((s_mid % S_half) == RO)
+    off_hap = ((map_rmq % S_half) == 0) | ((map_rmq % S_half) == RO)
+    return (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state,
+            alpha_mid, beta_mid, obs_mid)
+
+
+def _gather_slices(obs_slice_fn, b_mid, B, S, L_pad, dtype):
+    """obs at per-pair bMid: computed by a select-scan to avoid storing all
+    obs slices."""
+    def body(acc, b):
+        O = obs_slice_fn(b)
+        acc = jnp.where((b_mid == b)[:, None], O, acc)
+        return acc, None
+    acc, _ = lax.scan(body, jnp.zeros((B, S), dtype=dtype),
+                      jnp.arange(L_pad))
+    return acc
+
+
+class BatchedPairHMM:
+    """Window-level driver: packs haps/reads, runs the jitted kernel
+    (bucketed by padded shapes), converts back to MLAlignment."""
+
+    def __init__(self, params: ObservationModelParameters,
+                 dtype=np.float64, bucket: int = 16):
+        self.params = params
+        self.dtype = dtype
+        self.bucket = bucket
+
+    def compute(self, haps: List[Haplotype], reads: List[Read],
+                hap_start: int) -> List[List[MLAlignment]]:
+        p = self.params
+        nh, nr = len(haps), len(reads)
+        if nh == 0 or nr == 0:
+            return [[]]
+        H_max = max(h.size() for h in haps)
+        L_max = max(r.size() for r in reads)
+        H_pad = _round_up(H_max, self.bucket)
+        L_pad = _round_up(max(L_max, 2), self.bucket)
+        numT = p.max_length_del + 2
+        S_half = H_pad + 2
+        S = 2 * S_half
+        B = nh * nr
+        dt = self.dtype
+
+        hap_len = np.zeros(B, np.int32)
+        read_len = np.zeros(B, np.int32)
+        b_mid = np.zeros(B, np.int32)
+        read_codes = np.zeros((B, L_pad), np.uint8)
+        hap_codes = np.zeros((B, H_pad), np.uint8)
+        eq = np.zeros((B, L_pad), dt)
+        uq = np.zeros((B, L_pad), dt)
+        lpe = np.full((B, S_half), math.log(1e-5), dt)
+        lpn = np.full((B, S_half), math.log(1 - 1e-5), dt)
+        prior_rmq = np.zeros((B, S), dt)
+        prior_hmq = np.zeros((B, S), dt)
+
+        hap_arrs = []
+        for h in haps:
+            e_, n_ = hp_log_prob_error(h.seq)
+            hap_arrs.append((e_, n_))
+        tr_dummy = _Trans(p, haps[0].seq)
+
+        for hi, hap in enumerate(haps):
+            Hh = hap.size()
+            if p.max_length_del > Hh:
+                raise ValueError("hapSize error.")
+            hseq = np.frombuffer(hap.seq.encode(), np.uint8)
+            e_, n_ = hap_arrs[hi]
+            for ri, r in enumerate(reads):
+                i = hi * nr + ri
+                hap_len[i] = Hh
+                L = r.size()
+                read_len[i] = L
+                bm = compute_b_mid(r, hap_start, Hh, p.b_mid)
+                b_mid[i] = bm
+                read_codes[i, :L] = np.frombuffer(r.seq.encode(), np.uint8)
+                hap_codes[i, :Hh] = hseq
+                pr = np.asarray(r.qual, np.float64) * (1.0 - p.p_mut)
+                eq[i, :L] = np.log(0.25 + 0.75 * pr)
+                uq[i, :L] = np.log(0.75 + 1e-10 - 0.75 * pr)
+                lpe[i, :Hh + 2] = e_
+                lpn[i, :Hh + 2] = n_
+                # priors at the bMid slice (with the fixed-layout RO):
+                pr_r = compute_b_mid_prior(tr_dummy, r, hap_start, Hh, p,
+                                           r.map_qual, bm)
+                pr_h = compute_b_mid_prior(tr_dummy, r, hap_start, Hh, p,
+                                           1.0 - 1e-10, bm)
+                prior_rmq[i] = _expand_prior(pr_r, Hh, H_pad)
+                prior_hmq[i] = _expand_prior(pr_h, Hh, H_pad)
+
+        # V-arrays: lpe/lpn with indices beyond Hh clamped to the per-hap RO
+        lpeV = np.zeros((B, S_half + numT), dt)
+        lpnV = np.zeros((B, S_half + numT), dt)
+        for i in range(B):
+            Hh = hap_len[i]
+            ROi = Hh + 1
+            core_e = np.full(S_half + numT, lpe[i, ROi])
+            core_n = np.full(S_half + numT, lpn[i, ROi])
+            core_e[:Hh + 1] = lpe[i, :Hh + 1]
+            core_n[:Hh + 1] = lpn[i, :Hh + 1]
+            lpeV[i] = core_e
+            lpnV[i] = core_n
+            # remap per-hap RO prior/lpe entries to the fixed RO slot
+            if ROi != H_pad + 1:
+                lpe[i, H_pad + 1] = lpe[i, ROi]
+                lpn[i, H_pad + 1] = lpn[i, ROi]
+
+        scalars = np.array([math.log(1.0 - p.p_first_g_lo),
+                            math.log(p.p_first_g_lo),
+                            -0.5,
+                            math.log(1.0 - math.exp(-0.5)),
+                            math.log(1.0 - p.p_error)], dt)
+
+        (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state,
+         _amid, _bmid, _omid) = _hmm_forward(
+            H_pad, L_pad, numT,
+            jnp.asarray(hap_len), jnp.asarray(read_len), jnp.asarray(b_mid),
+            jnp.asarray(read_codes), jnp.asarray(hap_codes),
+            jnp.asarray(eq), jnp.asarray(uq), jnp.asarray(lpe),
+            jnp.asarray(lpn), jnp.asarray(lpeV), jnp.asarray(lpnV),
+            jnp.asarray(prior_rmq), jnp.asarray(prior_hmq),
+            jnp.asarray(scalars))
+        ll = np.asarray(ll)
+        off_hap = np.asarray(off_hap)
+        off_hap_hmq = np.asarray(off_hap_hmq)
+        ll_off = np.asarray(ll_off)
+        ll_on = np.asarray(ll_on)
+        map_state = np.asarray(map_state)
+
+        # convert back: remap fixed-layout states to per-pair numS layout and
+        # extract events on host
+        liks: List[List[MLAlignment]] = []
+        for hi, hap in enumerate(haps):
+            row = []
+            Hh = hap.size()
+            numS = Hh + 2
+            ROh = Hh + 1
+            S_half_f = H_pad + 2
+            for ri, r in enumerate(reads):
+                i = hi * nr + ri
+                L = r.size()
+                ms_fixed = map_state[i, :L]
+                ins = ms_fixed >= S_half_f
+                x = ms_fixed % S_half_f
+                x = np.where(x == H_pad + 1, ROh, x)
+                ms = np.where(ins, numS + x, x).astype(np.int32)
+                ml = MLAlignment()
+                ml.ll = float(ll[i])
+                ml.off_hap = bool(off_hap[i])
+                ml.off_hap_hmq = bool(off_hap_hmq[i])
+                ml.ll_off = float(ll_off[i])
+                ml.ll_on = float(ll_on[i])
+                _report_variants(ml, ms, hap, r, p, numS, ROh)
+                row.append(ml)
+            liks.append(row)
+        return liks
+
+
+def _expand_prior(pr: np.ndarray, Hh: int, H_pad: int) -> np.ndarray:
+    """Per-hap prior (2*(Hh+2),) -> fixed layout (2*(H_pad+2),)."""
+    numS = Hh + 2
+    S_half = H_pad + 2
+    out = np.full(2 * S_half, NEGBIG)
+    for i in range(2):
+        out[i * S_half:i * S_half + Hh + 1] = pr[i * numS:i * numS + Hh + 1]
+        out[i * S_half + H_pad + 1] = pr[i * numS + Hh + 1]
+    return out

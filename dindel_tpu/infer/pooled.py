@@ -1,0 +1,385 @@
+"""Pooled / haplotype-frequency caller: variational-Bayes EM with a
+Dirichlet prior, a port of DetInDel::estimateHaplotypeFrequenciesBayesEM
+(DInDel.cpp:2103-2930) plus the simple ML-EM
+(estimateHaplotypeFrequencies, DInDel.cpp:3665-3762).
+
+The EM loops run per active-variant set on the (reads x haps) log-lik
+matrix in float64; digamma is evaluated on host (math.lgamma-free series,
+matching boost::math::digamma to ~1e-15)."""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Set, Tuple
+
+from ..config import Parameters
+from ..model import Haplotype, MLAlignment, Read
+from ..out.glf import OutputData
+from ..utils import add_logs
+from ..variants import AlignedCandidates, AlignedVariant, DEL, INS, SNP
+
+NEG = -math.inf
+
+
+def digamma(x: float) -> float:
+    """Psi function; asymptotic series after upward recurrence (agrees with
+    boost::math::digamma used at DInDel.cpp:2466,2472 to ~1e-15)."""
+    r = 0.0
+    while x < 6.0:
+        r -= 1.0 / x
+        x += 1.0
+    f = 1.0 / (x * x)
+    return (r + math.log(x) - 0.5 / x
+            - f * (1.0 / 12.0
+                   - f * (1.0 / 120.0
+                          - f * (1.0 / 252.0
+                                 - f * (1.0 / 240.0
+                                        - f * (1.0 / 132.0
+                                               - f * 691.0 / 32760.0))))))
+
+
+def _is_real_variant(av: AlignedVariant) -> bool:
+    return not av.is_ref and not (av.is_snp and len(av.str) > 3 and av.str[3] == "D")
+
+
+def _var_log_prior(av_list, candidates: AlignedCandidates, left_pos: int,
+                   params: Parameters) -> float:
+    lp = 0.0
+    for avar in av_list:
+        lnf = 0.0
+        if avar.type == SNP:
+            lnf = math.log(params.prior_snp)
+        elif avar.type in (DEL, INS):
+            lnf = math.log(params.prior_indel)
+        av = candidates.find_variant(avar.start_hap + left_pos, avar.type, avar.str)
+        if av is None:
+            lp += lnf
+        else:
+            lp += lnf if av.freq < 0.0 else math.log(av.freq)
+    return lp
+
+
+def estimate_hap_freqs_bayes_em(
+        haps: List[Haplotype], reads: List[Read],
+        liks: List[List[MLAlignment]], cand_pos: int, left_pos: int,
+        right_pos: int, glf_data: Optional[OutputData], index: int,
+        candidates: AlignedCandidates, params: Parameters,
+        filtered: List[int],
+        var_coverage: Dict[Tuple[int, str], Tuple[int, int]],
+        num_bams: int, program: str = "all"):
+    """Returns (hap_freqs, posteriors, rows). posteriors: list of
+    (variant, pos, prob, freq, nf, nr) — HapEstResult mirror."""
+    nh = len(haps)
+    nr = len(reads)
+    rows: List[dict] = []
+
+    rl = [[liks[h][r].ll for h in range(nh)] for r in range(nr)]
+
+    num_unmapped_realigned = 0
+    num_read_off_all = 0
+    for r in range(nr):
+        offall = all(liks[h][r].off_hap for h in range(nh))
+        if offall:
+            num_read_off_all += 1
+        elif reads[r].is_unmapped:
+            num_unmapped_realigned += 1
+
+    # collect variants
+    all_variants: List[Tuple[int, AlignedVariant]] = []
+    seen: Set[Tuple[int, str]] = set()
+    for hap in haps:
+        for p, av in hap.indels.items():
+            if _is_real_variant(av) and (p, av.str) not in seen:
+                seen.add((p, av.str))
+                all_variants.append((p, av))
+    all_variants.sort(key=lambda pa: (pa[0], pa[1].str))
+    all_by_pos: Dict[int, List[Tuple[int, AlignedVariant]]] = {}
+    for p, av in all_variants:
+        all_by_pos.setdefault(p, []).append((p, av))
+    nv = len(all_variants)
+
+    # active-variant sets per program (DInDel.cpp:2176-2289)
+    active_sets: List[Set[Tuple[int, str]]] = []
+    active_snps: List[List[AlignedVariant]] = []
+    active_indels: List[List[AlignedVariant]] = []
+    av_by_key = {(p, av.str): av for p, av in all_variants}
+
+    def split_set(s: Set[Tuple[int, str]]):
+        snps = sorted(k for k in s if av_by_key[k].is_snp)
+        indels = sorted(k for k in s if av_by_key[k].is_indel)
+        return [av_by_key[k] for k in snps], [av_by_key[k] for k in indels]
+
+    if program == "all":
+        s = set(av_by_key)
+        active_sets.append(s)
+        sn, ind = split_set(s)
+        active_snps.append(sn)
+        active_indels.append(ind)
+    elif program == "singlevariant":
+        ss: List[Set[Tuple[int, str]]] = []
+        seen_sets: Set[frozenset] = set()
+        for h in range(nh):
+            if filtered[h]:
+                continue
+            act = {(p, av.str) for p, av in haps[h].indels.items()
+                   if _is_real_variant(av)}
+            fz = frozenset(act)
+            if fz not in seen_sets:
+                seen_sets.add(fz)
+                ss.append(act)
+        # std::set<std::set<PAV>> iterates in sorted order
+        ss.sort(key=lambda s: sorted(s))
+        for s in ss:
+            active_sets.append(s)
+            sn, ind = split_set(s)
+            active_snps.append(sn)
+            active_indels.append(ind)
+    elif program == "priorpersite":
+        active_sets.append(set())
+        active_snps.append([])
+        active_indels.append([])
+        for p in sorted(all_by_pos):
+            site = {(pp, av.str) for pp, av in all_by_pos[p]}
+            prev_n = len(active_sets)
+            for pna in range(prev_n):
+                s = set(active_sets[pna]) | site
+                active_sets.append(s)
+                sn, ind = split_set(s)
+                active_snps.append(sn)
+                active_indels.append(ind)
+    else:
+        raise ValueError("Unknown EM option")
+    nav = len(active_sets)
+
+    active = [[0] * nv for _ in range(nav)]
+    hap_has_var = [[0] * nv for _ in range(nh)]
+    for idx, (p, av) in enumerate(all_variants):
+        for a in range(nav):
+            if (p, av.str) in active_sets[a]:
+                active[a][idx] = 1
+        for h in range(nh):
+            it = haps[h].indels.get(p)
+            if it is not None and it.str == av.str:
+                hap_has_var[h][idx] = 1
+
+    logz = NEG
+    a0 = params.bayes_a0
+    logliks = [0.0] * nav
+    logpriors = [0.0] * nav
+    freqs = [[0.0] * nh for _ in range(nav)]
+
+    for th in range(nav):
+        logprior = _var_log_prior(active_snps[th], candidates, left_pos, params)
+        logprior += _var_log_prior(active_indels[th], candidates, left_pos, params)
+        logpriors[th] = logprior
+
+        compatible = [1] * nh
+        numah = 0
+        for h in range(nh):
+            if filtered[h]:
+                compatible[h] = 0
+            else:
+                for p, av in haps[h].indels.items():
+                    if _is_real_variant(av) and (p, av.str) not in active_sets[th]:
+                        compatible[h] = 0
+                        break
+            if compatible[h]:
+                numah += 1
+
+        # VB-EM (DInDel.cpp:2411-2523)
+        lpi = [math.log(1.0 / numah) if compatible[h] else -100.0 for h in range(nh)]
+        pi = [0.0] * nh
+        e_old = NEG
+        iter_ = 0
+        loglik = 0.0
+        while True:
+            nk = [0.0] * nh
+            loglik = 0.0
+            z = [[0.0] * nh for _ in range(nr)]
+            for r in range(nr):
+                lognorm = NEG
+                for h in range(nh):
+                    z[r][h] = lpi[h] + rl[r][h]
+                    lognorm = add_logs(lognorm, z[r][h])
+                for h in range(nh):
+                    zz = math.exp(z[r][h] - lognorm)
+                    z[r][h] = zz
+                    nk[h] += zz
+                loglik += lognorm
+            ahat = 0.0
+            ak = [0.0] * nh
+            for h in range(nh):
+                if compatible[h]:
+                    ak[h] = nk[h] + a0
+                    ahat += ak[h]
+            dahat = digamma(ahat)
+            for h in range(nh):
+                if compatible[h]:
+                    lpi[h] = digamma(ak[h]) - dahat
+                    pi[h] = math.log((a0 + nk[h]) / (numah * a0 + nr))
+                else:
+                    lpi[h] = -100.0
+                    pi[h] = -100.0
+            e_new = 0.0
+            for r in range(nr):
+                for h in range(nh):
+                    e_new += z[r][h] * (pi[h] + rl[r][h])
+            converged = abs(e_old - e_new) < params.em_tol or iter_ > 25
+            e_old = e_new
+            iter_ += 1
+            if converged:
+                break
+
+        zsum = sum(math.exp(x) for x in pi)
+        logliks[th] = loglik
+        logz = add_logs(logz, logliks[th] + logprior)
+        for h in range(nh):
+            freqs[th][h] = math.exp(pi[h]) / zsum
+
+    post = [math.exp(logliks[a] + logpriors[a] - logz) for a in range(nav)]
+    hap_freqs = [0.0] * nh
+    for th in range(nav):
+        w = math.exp(logliks[th] + logpriors[th] - logz)
+        for h in range(nh):
+            hap_freqs[h] += w * freqs[th][h]
+
+    # per-variant marginal posteriors + per-BAM GLF lines (DInDel.cpp:2578-2816)
+    readidx: List[List[int]] = [[] for _ in range(num_bams)]
+    for r in range(nr):
+        readidx[reads[r].pool_id].append(r)
+
+    posteriors = []
+    for idx, (p, pav) in enumerate(all_variants):
+        logp = NEG
+        freq = 0.0
+        for th in range(nav):
+            if active[th][idx]:
+                logp = add_logs(logp, logliks[th] + logpriors[th])
+        for h in range(nh):
+            if hap_has_var[h][idx]:
+                freq += hap_freqs[h]
+        logp -= logz
+
+        av = candidates.find_variant(pav.start_hap + left_pos, pav.type, pav.str)
+        do_glf = av is not None
+
+        prior_pair = [[0.0] * nh for _ in range(nh)]
+        if params.output_glf and do_glf:
+            # marginalize frequencies over the presence of this variant
+            marsum = [0] * nv
+            s = 1
+            for y in range(nv):
+                if y != idx:
+                    marsum[y] = s
+                    s *= 2
+            mar_states: Dict[int, int] = {}
+            otn = {}
+            for h in range(nh):
+                nidx = sum(marsum[v] * hap_has_var[h][v] for v in range(nv))
+                if nidx in mar_states:
+                    otn[h] = mar_states[nidx]
+                else:
+                    ns = len(mar_states)
+                    mar_states[nidx] = ns
+                    otn[h] = ns
+            nmarhap = len(mar_states)
+            mar_freqs = [0.0] * nmarhap
+            for h in range(nh):
+                mar_freqs[otn[h]] += hap_freqs[h]
+            for h in range(nmarhap):
+                mar_freqs[h] = -50.0 if mar_freqs[h] < 1e-16 else math.log(mar_freqs[h])
+            for h1 in range(nh):
+                for h2 in range(h1, nh):
+                    prior_pair[h1][h2] = mar_freqs[otn[h1]] + mar_freqs[otn[h2]]
+
+        totnf = totnr = 0
+        log5 = math.log(0.5)
+        for b in range(num_bams):
+            msq = 0.0
+            nf = nr_c = 0
+            lik = [0.0, 0.0, 0.0]
+            if readidx[b]:
+                if params.output_glf and do_glf:
+                    lik = [NEG, NEG, NEG]
+                    for h1 in range(nh):
+                        for h2 in range(h1, nh):
+                            genotype = hap_has_var[h1][idx] + hap_has_var[h2][idx]
+                            ll = prior_pair[h1][h2]
+                            for r in readidx[b]:
+                                ll += log5 + add_logs(rl[r][h1], rl[r][h2])
+                            lik[genotype] = add_logs(lik[genotype], ll)
+                n = 0
+                for r in readidx[b]:
+                    ml = NEG
+                    for hi in range(nh):
+                        if liks[hi][r].ll >= ml:
+                            ml = liks[hi][r].ll
+                    mlis = [hi for hi in range(nh) if liks[hi][r].ll >= ml - 1e-7]
+                    nrt = nft = False
+                    for h in mlis:
+                        covered = False
+                        if pav.is_indel:
+                            covered = liks[h][r].hap_indel_covered.get(p, False)
+                        elif pav.is_snp:
+                            covered = liks[h][r].hap_snp_covered.get(p, False)
+                        if covered and hap_has_var[h][idx]:
+                            if reads[r].on_reverse_strand:
+                                nrt = True
+                            else:
+                                nft = True
+                    mq = -10.0 * math.log10(1.0 - reads[r].map_qual)
+                    msq += mq * mq
+                    n += 1
+                    if nft:
+                        nf += 1
+                    if nrt:
+                        nr_c += 1
+                msq = math.sqrt(msq / n) if n != 0 else 0.0
+                totnf += nf
+                totnr += nr_c
+
+            if params.output_glf and do_glf:
+                row = dict(msg="ok", index=index, tid=params.tid,
+                           analysis_type=program, indidx=b,
+                           was_candidate_in_window=1, lpos=left_pos,
+                           rpos=right_pos, center_position=cand_pos,
+                           realigned_position=p + left_pos,
+                           post_prob_variant=math.exp(logp), est_freq=freq,
+                           logZ=logz, nref_all=pav.str,
+                           num_reads=len(readidx[b]), msq=msq,
+                           num_cover_forward=nf, num_cover_reverse=nr_c,
+                           num_unmapped_realigned=num_unmapped_realigned,
+                           var_coverage_forward=var_coverage.get((p, pav.str), (0, 0))[0],
+                           var_coverage_reverse=var_coverage.get((p, pav.str), (0, 0))[1])
+                if b == 0:
+                    hf_parts = []
+                    for h in range(nh):
+                        if hap_freqs[h] > 1.0 / (2 * nr):
+                            vars_str = []
+                            for pp, avv in sorted(haps[h].indels.items()):
+                                if avv.str != "*REF":
+                                    vars_str.append(f"{left_pos + pp},{avv.str}")
+                            body = ",".join(vars_str) if vars_str else "REF"
+                            hf_parts.append(f"{body}:{_g(hap_freqs[h])}")
+                    row["hapfreqs"] = ";".join(hf_parts)
+                likstring = ";".join(
+                    f"{gt}:{_g(lik[i])}" for i, gt in enumerate(("0/0", "0/1", "1/1")))
+                row["glf"] = likstring
+                rows.append(row)
+                _emit(glf_data, row)
+        posteriors.append((pav, p, math.exp(logp), freq, totnf, totnr))
+
+    return hap_freqs, posteriors, rows
+
+
+def _g(x: float) -> str:
+    return "%g" % x
+
+
+def _emit(glf_data: Optional[OutputData], row: dict) -> None:
+    if glf_data is None:
+        return
+    line = glf_data.line()
+    for k, v in row.items():
+        line.set(k, v)
+    glf_data.output(line)
