@@ -1,0 +1,201 @@
+"""Command-line interface.
+
+``python -m dindel_tpu --analysis {getCIGARindels,indels,realignCandidates}``
+mirrors the reference binary's options (DInDel.cpp:4074-4308); additional
+subcommands cover the reference's Python pipeline scripts:
+
+  --analysis makeWindows      (python/makeWindows.py)
+  --analysis selectCandidates (python/selectCandidates.py)
+  --analysis mergeOutputDiploid (python/mergeOutputDiploid.py)
+  --analysis mergeOutputPooled  (python/mergeOutputPooled.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .config import Parameters
+from .model import LibraryCollection
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="dindel_tpu")
+    ap.add_argument("--analysis", default="indels")
+    ap.add_argument("--ref")
+    ap.add_argument("--outputFile")
+    ap.add_argument("--bamFile")
+    ap.add_argument("--bamFiles")
+    ap.add_argument("--region")
+    ap.add_argument("--tid")
+    ap.add_argument("--varFile")
+    ap.add_argument("--varFileIsOneBased", action="store_true")
+    ap.add_argument("--outputRealignedBAM", action="store_true")
+    ap.add_argument("--processRealignedBAM", default="no")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--doDiploid", action="store_true")
+    ap.add_argument("--doPooled", action="store_true")
+    ap.add_argument("--faster", action="store_true")
+    ap.add_argument("--filterHaplotypes", action="store_true")
+    ap.add_argument("--flankRefSeq", type=int, default=2)
+    ap.add_argument("--flankMaxMismatch", type=int, default=2)
+    ap.add_argument("--priorSNP", type=float, default=1.0 / 1000)
+    ap.add_argument("--priorIndel", type=float, default=1.0 / 10000)
+    ap.add_argument("--width", type=int, default=60)
+    ap.add_argument("--maxHap", type=int, default=8)
+    ap.add_argument("--maxRead", type=int, default=10000)
+    ap.add_argument("--mapQualThreshold", type=float, default=0.99)
+    ap.add_argument("--capMapQualThreshold", type=float, default=100.0)
+    ap.add_argument("--capMapQualFast", type=float, default=45.0)
+    ap.add_argument("--skipMaxHap", type=int, default=200)
+    ap.add_argument("--minReadOverlap", type=int, default=20)
+    ap.add_argument("--maxReadLength", type=int, default=500)
+    ap.add_argument("--minCount", type=int, default=1)
+    ap.add_argument("--maxHapReadProd", type=int, default=10_000_000)
+    ap.add_argument("--changeINStoN", action="store_true")
+    ap.add_argument("--bayesa0", type=float, default=0.001)
+    ap.add_argument("--bayesType", default="singlevariant")
+    ap.add_argument("--checkAllCIGARs", type=int, default=1)
+    ap.add_argument("--filterReadAux")
+    ap.add_argument("--pError", type=float, default=5e-4)
+    ap.add_argument("--pMut", type=float, default=1e-5)
+    ap.add_argument("--maxLengthIndel", type=int, default=5)
+    ap.add_argument("--libFile")
+    ap.add_argument("--hmmBackend", default="jax",
+                    choices=["jax", "oracle"],
+                    help="pair-HMM backend (jax = batched device kernel)")
+    # pipeline subcommand options
+    ap.add_argument("--inputVarFile")
+    ap.add_argument("--windowFilePrefix")
+    ap.add_argument("--minDist", type=int, default=20)
+    ap.add_argument("--numWindowsPerFile", type=int, default=1000)
+    ap.add_argument("--inputFiles", help="file listing .glf.txt files to merge")
+    ap.add_argument("--sampleID", default="SAMPLE")
+    ap.add_argument("--maxHPLen", type=int, default=10)
+    ap.add_argument("--filterQual", type=int, default=20)
+    ap.add_argument("--numSamples", type=int, default=0)
+    ap.add_argument("--numBAMFiles", type=int, default=0)
+    return ap
+
+
+def params_from_args(args) -> Parameters:
+    """getParameters (DInDel.cpp:3907-3989)."""
+    p = Parameters()
+    p.max_hap = args.maxHap
+    p.max_reads = args.maxRead
+    p.width = args.width
+    p.map_qual_threshold = args.mapQualThreshold
+    p.skip_max_hap = args.skipMaxHap
+    p.min_read_overlap = args.minReadOverlap
+    p.max_read_length = args.maxReadLength
+    p.max_hap_read_prod = args.maxHapReadProd
+    p.prior_snp = args.priorSNP
+    p.prior_indel = args.priorIndel
+    p.bayes_a0 = args.bayesa0
+    p.bayes_type = args.bayesType
+    p.obs_params.p_error = args.pError
+    p.obs_params.p_mut = args.pMut
+    p.obs_params.max_length_indel = args.maxLengthIndel
+    p.obs_params.max_length_del = args.maxLengthIndel
+    p.obs_params.map_qual_threshold = args.capMapQualThreshold
+    p.obs_params.cap_map_qual_fast = args.capMapQualFast
+    p.obs_params.pad_cover = args.flankRefSeq
+    p.obs_params.max_mismatch = args.flankMaxMismatch
+    p.check_all_cigars = args.checkAllCIGARs
+    p.var_file_is_one_based = args.varFileIsOneBased
+    p.output_realigned_bam = args.outputRealignedBAM
+    p.process_realigned_bam = args.processRealignedBAM
+    p.quiet = args.quiet
+    p.do_diploid = args.doDiploid
+    p.estimate_hap_freqs = args.doPooled
+    p.filter_haplotypes = args.filterHaplotypes
+    p.slower = not args.faster
+    p.change_ins_to_n = args.changeINStoN
+    if args.filterReadAux:
+        p.filter_read_aux = args.filterReadAux
+    p.ref_file_name = args.ref or ""
+    if args.outputFile:
+        p.file_name = args.outputFile
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    analysis = args.analysis
+
+    if analysis == "getCIGARindels":
+        from .engine.candidates import get_candidates, get_candidates_region
+        if args.region:
+            start, end = parse_region(args.region)
+            bams = ([args.bamFile] if args.bamFile
+                    else [l.split()[0] for l in open(args.bamFiles)])
+            get_candidates_region(bams, args.tid, start, end,
+                                  args.outputFile, args.ref)
+        else:
+            get_candidates(args.bamFile, args.outputFile, args.ref)
+        return 0
+
+    if analysis == "indels":
+        from .engine.window import WindowEngine
+        params = params_from_args(args)
+        bam_paths = ([args.bamFile] if args.bamFile
+                     else [l.split()[0] for l in open(args.bamFiles)])
+        libraries = LibraryCollection()
+        if args.libFile:
+            params.map_unmapped_reads = True
+            params.obs_params.map_unmapped_reads = True
+            libraries.add_from_file(args.libFile)
+        eng = WindowEngine(bam_paths, args.ref, params, libraries,
+                           hmm_backend=args.hmmBackend)
+        eng.detect_indels(args.varFile)
+        eng.close()
+        return 0
+
+    if analysis == "realignCandidates":
+        from .engine.candidates import realign_candidate_file
+        out = args.outputFile + ".variants.txt"
+        realign_candidate_file(args.varFile, args.varFileIsOneBased, out, args.ref)
+        return 0
+
+    if analysis == "makeWindows":
+        from .pipeline.windows import make_windows
+        make_windows(args.inputVarFile, args.windowFilePrefix,
+                     min_dist=args.minDist,
+                     variants_per_file=args.numWindowsPerFile)
+        return 0
+
+    if analysis == "selectCandidates":
+        from .pipeline.windows import select_candidates
+        select_candidates(args.inputVarFile, args.outputFile,
+                          min_count=args.minCount)
+        return 0
+
+    if analysis == "mergeOutputDiploid":
+        from .pipeline.merge_diploid import merge_output_diploid
+        files = [l.split()[0] for l in open(args.inputFiles) if l.strip()]
+        merge_output_diploid(files, args.outputFile, args.ref,
+                             sample_id=args.sampleID, max_hp_len=args.maxHPLen,
+                             filter_qual=args.filterQual)
+        return 0
+
+    if analysis == "mergeOutputPooled":
+        from .pipeline.merge_pooled import merge_output_pooled
+        files = [l.split()[0] for l in open(args.inputFiles) if l.strip()]
+        merge_output_pooled(files, args.outputFile, args.ref,
+                            num_samples=args.numSamples,
+                            num_bam_files=args.numBAMFiles)
+        return 0
+
+    print(f"Unrecognized --analysis option. {analysis}", file=sys.stderr)
+    return 1
+
+
+def parse_region(region: str):
+    """parseRegionString (DInDel.cpp:3892-3905)."""
+    filtered = region.replace(",", "").replace("-", " ")
+    toks = filtered.split()
+    return int(toks[0]), int(toks[1])
+
+
+if __name__ == "__main__":
+    sys.exit(main())
