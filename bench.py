@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark: pair-HMM cell-updates/sec on the real device.
+
+Prints ONE JSON line:
+  {"metric": "pairhmm_cells_per_sec", "value": N, "unit": "cells/s",
+   "vs_baseline": R}
+
+cells = L * 2*(H+2) * numT per (read, haplotype) pair — the reference's
+inner-loop cost model (ObservationModelFB.cpp:1715-1829 loop bounds; see
+SURVEY.md §6).  vs_baseline is measured against the actual reference C++
+single-core implementation when it can be compiled (native/refshim), else
+against a recorded single-core estimate.
+"""
+
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+# Fallback single-core C++ cells/s (measured on this host with
+# native/refshim/ref_hmm; updated when the differential driver runs).
+DEFAULT_BASELINE_CELLS_PER_SEC = 25.0e6
+
+
+def measure_reference_baseline(n_pairs=40, H=160, L=100):
+    """Time the compiled reference ObservationModelFBMaxErr on random
+    pairs; returns cells/s or None."""
+    sys.path.insert(0, str(REPO / "tests"))
+    try:
+        from conftest import ref_hmm_exe
+        exe = ref_hmm_exe()
+    except Exception:
+        return None
+    if exe is None:
+        return None
+    import random
+    rng = random.Random(0)
+    lines = []
+    for _ in range(n_pairs):
+        hap = "".join(rng.choice("ACGT") for _ in range(H))
+        start = rng.randrange(0, H - L) if H > L else 0
+        read = hap[start:start + L]
+        quals = ",".join("0.999" for _ in read)
+        lines.append(f"{hap} {read} 0.99999 {start} 0 5e-4 1e-5 5 0.01 -1 0 0 {quals}")
+    inp = "\n".join(lines) + "\n"
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        subprocess.run([str(exe)], input=inp, capture_output=True, text=True,
+                       timeout=600)
+    dt = (time.perf_counter() - t0) / reps
+    numT = 7
+    cells = n_pairs * L * 2 * (H + 2) * numT
+    return cells / dt
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from dindel_tpu.config import ObservationModelParameters
+    from dindel_tpu.hmm.batch import pack_pairs, _hmm_forward
+    from dindel_tpu.parallel.mesh import synth_windows
+
+    # realistic window scale: 8 haplotypes x 768 reads, 160bp haps, 100bp
+    # reads (BASELINE.json config 2 geometry)
+    nh, nr, H, L = 8, 768, 160, 100
+    params = ObservationModelParameters()
+    (haps, reads, hap_start), = synth_windows(1, nh=nh, nr=nr, H=H, L=L, seed=1)
+    pk = pack_pairs(haps, reads, hap_start, params, dtype=np.float32)
+    keys = ["hap_len", "read_len", "b_mid", "read_codes", "hap_codes",
+            "eq", "uq", "lpe", "lpn", "lpeV", "lpnV",
+            "prior_rmq", "prior_hmq", "scalars"]
+    args = [jnp.asarray(pk[k]) for k in keys]
+
+    def run():
+        out = _hmm_forward(pk["H_pad"], pk["L_pad"], pk["numT"], *args)
+        return out[0]
+
+    # warmup/compile
+    ll = run()
+    ll.block_until_ready()
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        ll = run()
+    ll.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    B = nh * nr
+    numT = pk["numT"]
+    # count true per-pair work (the reference's loop bounds on unpadded
+    # sizes), not padded work — conservative for us
+    cells = B * L * 2 * (H + 2) * numT
+    cells_per_sec = cells / dt
+
+    baseline = None
+    try:
+        baseline = measure_reference_baseline()
+    except Exception:
+        baseline = None
+    if baseline is None:
+        baseline = DEFAULT_BASELINE_CELLS_PER_SEC
+
+    print(json.dumps({
+        "metric": "pairhmm_cells_per_sec",
+        "value": cells_per_sec,
+        "unit": "cells/s",
+        "vs_baseline": cells_per_sec / baseline,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -281,7 +281,7 @@ def _hmm_forward(H_pad, L_pad, numT,
         O = obs_slice(b - 1)
         newA, btf_b = dec_step(A, O)
         a_mid = jnp.where((b_mid == b)[:, None], newA, a_mid)
-        return (newA, a_mid), btf_b
+        return (newA, a_mid), btf_b.astype(jnp.int16)
 
     (A_last, alpha_mid), btf = lax.scan(
         fwd_body, (zero_state, zero_state), jnp.arange(1, L_pad))
@@ -297,7 +297,7 @@ def _hmm_forward(H_pad, L_pad, numT,
         newB = jnp.where(pad, zero_state, newB)
         btb_b = jnp.where(pad, idx_base, btb_b)
         b_mid_acc = jnp.where((b_mid == (b - 1))[:, None], newB, b_mid_acc)
-        return (newB, b_mid_acc), btb_b
+        return (newB, b_mid_acc), btb_b.astype(jnp.int16)
 
     beta_init = zero_state
     beta_mid_init = jnp.where((b_mid == (L_pad - 1))[:, None],
@@ -348,7 +348,7 @@ def _hmm_forward(H_pad, L_pad, numT,
     # ------------------------------------------------------------------
     def down_body(cur, t):
         b = t  # slice index from L_pad-1 down to 1
-        bt_b = btf[b - 1]  # btf stacked over b=1..L_pad-1 -> index b-1
+        bt_b = btf[b - 1].astype(jnp.int32)  # btf stacked over b=1..L_pad-1
         nxt = jnp.take_along_axis(bt_b, cur[:, None], axis=1)[:, 0]
         cur2 = jnp.where(b <= b_mid, nxt, cur)
         return cur2, cur2
@@ -359,7 +359,7 @@ def _hmm_forward(H_pad, L_pad, numT,
     down_states = down_states[::-1]  # now index b-1 = 0..L_pad-2
 
     def up_body(cur, b):
-        bt_b = btb[b]
+        bt_b = btb[b].astype(jnp.int32)
         nxt = jnp.take_along_axis(bt_b, cur[:, None], axis=1)[:, 0]
         cur2 = jnp.where(b >= b_mid, nxt, cur)
         return cur2, cur2
@@ -394,6 +394,114 @@ def _gather_slices(obs_slice_fn, b_mid, B, S, L_pad, dtype):
     return acc
 
 
+def pack_pairs(haps: List[Haplotype], reads: List[Read], hap_start: int,
+               p: ObservationModelParameters, dtype=np.float64,
+               bucket: int = 16, H_pad: int = None, L_pad: int = None) -> dict:
+    """Pack a window's (haps x reads) pairs into the fixed-layout arrays
+    consumed by _hmm_forward. Returns a dict incl. static dims."""
+    nh, nr = len(haps), len(reads)
+    H_max = max(h.size() for h in haps)
+    L_max = max(r.size() for r in reads)
+    if H_pad is None:
+        H_pad = _round_up(H_max, bucket)
+    if L_pad is None:
+        L_pad = _round_up(max(L_max, 2), bucket)
+    numT = p.max_length_del + 2
+    S_half = H_pad + 2
+    S = 2 * S_half
+    B = nh * nr
+    dt = dtype
+
+    hap_len = np.zeros(B, np.int32)
+    read_len = np.zeros(B, np.int32)
+    b_mid = np.zeros(B, np.int32)
+    read_codes = np.zeros((B, L_pad), np.uint8)
+    hap_codes = np.zeros((B, H_pad), np.uint8)
+    eq = np.zeros((B, L_pad), dt)
+    uq = np.zeros((B, L_pad), dt)
+    lpe = np.full((B, S_half), math.log(1e-5), dt)
+    lpn = np.full((B, S_half), math.log(1 - 1e-5), dt)
+    prior_rmq = np.zeros((B, S), dt)
+    prior_hmq = np.zeros((B, S), dt)
+
+    hap_arrs = []
+    for h in haps:
+        e_, n_ = hp_log_prob_error(h.seq)
+        hap_arrs.append((e_, n_))
+    tr_dummy = _Trans(p, haps[0].seq)
+
+    for hi, hap in enumerate(haps):
+        Hh = hap.size()
+        if p.max_length_del > Hh:
+            raise ValueError("hapSize error.")
+        hseq = np.frombuffer(hap.seq.encode(), np.uint8)
+        e_, n_ = hap_arrs[hi]
+        for ri, r in enumerate(reads):
+            i = hi * nr + ri
+            hap_len[i] = Hh
+            L = r.size()
+            read_len[i] = L
+            bm = compute_b_mid(r, hap_start, Hh, p.b_mid)
+            b_mid[i] = bm
+            read_codes[i, :L] = np.frombuffer(r.seq.encode(), np.uint8)
+            hap_codes[i, :Hh] = hseq
+            pr = np.asarray(r.qual, np.float64) * (1.0 - p.p_mut)
+            eq[i, :L] = np.log(0.25 + 0.75 * pr)
+            uq[i, :L] = np.log(0.75 + 1e-10 - 0.75 * pr)
+            lpe[i, :Hh + 2] = e_
+            lpn[i, :Hh + 2] = n_
+            # priors at the bMid slice (with the fixed-layout RO):
+            pr_r = compute_b_mid_prior(tr_dummy, r, hap_start, Hh, p,
+                                       r.map_qual, bm)
+            pr_h = compute_b_mid_prior(tr_dummy, r, hap_start, Hh, p,
+                                       1.0 - 1e-10, bm)
+            prior_rmq[i] = _expand_prior(pr_r, Hh, H_pad)
+            prior_hmq[i] = _expand_prior(pr_h, Hh, H_pad)
+
+    # V-arrays: lpe/lpn with indices beyond Hh clamped to the per-hap RO
+    lpeV = np.zeros((B, S_half + numT), dt)
+    lpnV = np.zeros((B, S_half + numT), dt)
+    for i in range(B):
+        Hh = hap_len[i]
+        ROi = Hh + 1
+        core_e = np.full(S_half + numT, lpe[i, ROi])
+        core_n = np.full(S_half + numT, lpn[i, ROi])
+        core_e[:Hh + 1] = lpe[i, :Hh + 1]
+        core_n[:Hh + 1] = lpn[i, :Hh + 1]
+        lpeV[i] = core_e
+        lpnV[i] = core_n
+        # remap per-hap RO prior/lpe entries to the fixed RO slot
+        if ROi != H_pad + 1:
+            lpe[i, H_pad + 1] = lpe[i, ROi]
+            lpn[i, H_pad + 1] = lpn[i, ROi]
+
+    scalars = np.array([math.log(1.0 - p.p_first_g_lo),
+                        math.log(p.p_first_g_lo),
+                        -0.5,
+                        math.log(1.0 - math.exp(-0.5)),
+                        math.log(1.0 - p.p_error)], dt)
+
+    return dict(H_pad=H_pad, L_pad=L_pad, numT=numT, nh=nh, nr=nr,
+                hap_len=hap_len, read_len=read_len, b_mid=b_mid,
+                read_codes=read_codes, hap_codes=hap_codes, eq=eq, uq=uq,
+                lpe=lpe, lpn=lpn, lpeV=lpeV, lpnV=lpnV,
+                prior_rmq=prior_rmq, prior_hmq=prior_hmq, scalars=scalars)
+
+
+def run_packed(pk: dict):
+    """Run the jitted kernel on a packed dict; returns numpy outputs."""
+    out = _hmm_forward(
+        pk['H_pad'], pk['L_pad'], pk['numT'],
+        jnp.asarray(pk['hap_len']), jnp.asarray(pk['read_len']),
+        jnp.asarray(pk['b_mid']), jnp.asarray(pk['read_codes']),
+        jnp.asarray(pk['hap_codes']), jnp.asarray(pk['eq']),
+        jnp.asarray(pk['uq']), jnp.asarray(pk['lpe']), jnp.asarray(pk['lpn']),
+        jnp.asarray(pk['lpeV']), jnp.asarray(pk['lpnV']),
+        jnp.asarray(pk['prior_rmq']), jnp.asarray(pk['prior_hmq']),
+        jnp.asarray(pk['scalars']))
+    return out
+
+
 class BatchedPairHMM:
     """Window-level driver: packs haps/reads, runs the jitted kernel
     (bucketed by padded shapes), converts back to MLAlignment."""
@@ -410,94 +518,11 @@ class BatchedPairHMM:
         nh, nr = len(haps), len(reads)
         if nh == 0 or nr == 0:
             return [[]]
-        H_max = max(h.size() for h in haps)
-        L_max = max(r.size() for r in reads)
-        H_pad = _round_up(H_max, self.bucket)
-        L_pad = _round_up(max(L_max, 2), self.bucket)
-        numT = p.max_length_del + 2
-        S_half = H_pad + 2
-        S = 2 * S_half
-        B = nh * nr
-        dt = self.dtype
-
-        hap_len = np.zeros(B, np.int32)
-        read_len = np.zeros(B, np.int32)
-        b_mid = np.zeros(B, np.int32)
-        read_codes = np.zeros((B, L_pad), np.uint8)
-        hap_codes = np.zeros((B, H_pad), np.uint8)
-        eq = np.zeros((B, L_pad), dt)
-        uq = np.zeros((B, L_pad), dt)
-        lpe = np.full((B, S_half), math.log(1e-5), dt)
-        lpn = np.full((B, S_half), math.log(1 - 1e-5), dt)
-        prior_rmq = np.zeros((B, S), dt)
-        prior_hmq = np.zeros((B, S), dt)
-
-        hap_arrs = []
-        for h in haps:
-            e_, n_ = hp_log_prob_error(h.seq)
-            hap_arrs.append((e_, n_))
-        tr_dummy = _Trans(p, haps[0].seq)
-
-        for hi, hap in enumerate(haps):
-            Hh = hap.size()
-            if p.max_length_del > Hh:
-                raise ValueError("hapSize error.")
-            hseq = np.frombuffer(hap.seq.encode(), np.uint8)
-            e_, n_ = hap_arrs[hi]
-            for ri, r in enumerate(reads):
-                i = hi * nr + ri
-                hap_len[i] = Hh
-                L = r.size()
-                read_len[i] = L
-                bm = compute_b_mid(r, hap_start, Hh, p.b_mid)
-                b_mid[i] = bm
-                read_codes[i, :L] = np.frombuffer(r.seq.encode(), np.uint8)
-                hap_codes[i, :Hh] = hseq
-                pr = np.asarray(r.qual, np.float64) * (1.0 - p.p_mut)
-                eq[i, :L] = np.log(0.25 + 0.75 * pr)
-                uq[i, :L] = np.log(0.75 + 1e-10 - 0.75 * pr)
-                lpe[i, :Hh + 2] = e_
-                lpn[i, :Hh + 2] = n_
-                # priors at the bMid slice (with the fixed-layout RO):
-                pr_r = compute_b_mid_prior(tr_dummy, r, hap_start, Hh, p,
-                                           r.map_qual, bm)
-                pr_h = compute_b_mid_prior(tr_dummy, r, hap_start, Hh, p,
-                                           1.0 - 1e-10, bm)
-                prior_rmq[i] = _expand_prior(pr_r, Hh, H_pad)
-                prior_hmq[i] = _expand_prior(pr_h, Hh, H_pad)
-
-        # V-arrays: lpe/lpn with indices beyond Hh clamped to the per-hap RO
-        lpeV = np.zeros((B, S_half + numT), dt)
-        lpnV = np.zeros((B, S_half + numT), dt)
-        for i in range(B):
-            Hh = hap_len[i]
-            ROi = Hh + 1
-            core_e = np.full(S_half + numT, lpe[i, ROi])
-            core_n = np.full(S_half + numT, lpn[i, ROi])
-            core_e[:Hh + 1] = lpe[i, :Hh + 1]
-            core_n[:Hh + 1] = lpn[i, :Hh + 1]
-            lpeV[i] = core_e
-            lpnV[i] = core_n
-            # remap per-hap RO prior/lpe entries to the fixed RO slot
-            if ROi != H_pad + 1:
-                lpe[i, H_pad + 1] = lpe[i, ROi]
-                lpn[i, H_pad + 1] = lpn[i, ROi]
-
-        scalars = np.array([math.log(1.0 - p.p_first_g_lo),
-                            math.log(p.p_first_g_lo),
-                            -0.5,
-                            math.log(1.0 - math.exp(-0.5)),
-                            math.log(1.0 - p.p_error)], dt)
+        pk = pack_pairs(haps, reads, hap_start, p, self.dtype, self.bucket)
+        H_pad = pk['H_pad']
 
         (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state,
-         _amid, _bmid, _omid) = _hmm_forward(
-            H_pad, L_pad, numT,
-            jnp.asarray(hap_len), jnp.asarray(read_len), jnp.asarray(b_mid),
-            jnp.asarray(read_codes), jnp.asarray(hap_codes),
-            jnp.asarray(eq), jnp.asarray(uq), jnp.asarray(lpe),
-            jnp.asarray(lpn), jnp.asarray(lpeV), jnp.asarray(lpnV),
-            jnp.asarray(prior_rmq), jnp.asarray(prior_hmq),
-            jnp.asarray(scalars))
+         _amid, _bmid, _omid) = run_packed(pk)
         ll = np.asarray(ll)
         off_hap = np.asarray(off_hap)
         off_hap_hmq = np.asarray(off_hap_hmq)

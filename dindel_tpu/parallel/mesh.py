@@ -1,0 +1,176 @@
+"""Multi-chip execution: windows data-parallel ('dp') and reads
+tensor-parallel ('rp') over a jax.sharding.Mesh.
+
+The reference scales by running one process per window file with zero
+communication (makeWindows.py:46-54); the TPU-native design shards a
+*batch of windows* over the mesh instead:
+
+- 'dp' axis: independent realignment windows (the natural data axis);
+- 'rp' axis: the reads of each window are sharded across chips; per-pair
+  log-likelihoods are computed locally and the diploid genotype
+  log-likelihood matrix G[h1,h2] = sum_r log(.5 e^{ll[h1,r]}+.5 e^{ll[h2,r]})
+  is completed with a psum over 'rp' (the tensor-parallel analogue for
+  this workload; collectives ride ICI).
+
+The same step function drives dryrun_multichip (virtual CPU devices) and
+real pod-slice runs."""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import List
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..config import ObservationModelParameters
+from ..hmm.batch import _hmm_forward, pack_pairs
+from ..model import Haplotype, Read
+
+
+def make_mesh(n_dp: int, n_rp: int, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    devs = np.asarray(devices[:n_dp * n_rp]).reshape(n_dp, n_rp)
+    return Mesh(devs, axis_names=("dp", "rp"))
+
+
+def _window_step_local(H_pad, L_pad, numT, nh, args):
+    """Per-shard computation: batched HMM over the local (window, hap,
+    read-shard) pairs + partial genotype matrix, completed by psum."""
+    (hap_len, read_len, b_mid, read_codes, hap_codes, eq, uq,
+     lpe, lpn, lpeV, lpnV, prior_rmq, prior_hmq, scalars) = args
+
+    W_loc = hap_len.shape[0]
+
+    def one_window(a):
+        out = _hmm_forward(H_pad, L_pad, numT, *a)
+        return out[0]  # ll, (B,) = (nh * nr_loc,)
+
+    ll = jax.vmap(one_window)(
+        (hap_len, read_len, b_mid, read_codes, hap_codes, eq, uq,
+         lpe, lpn, lpeV, lpnV, prior_rmq, prior_hmq,
+         jnp.broadcast_to(scalars, (W_loc,) + scalars.shape)))
+    nr_loc = ll.shape[1] // nh
+    ll = ll.reshape(W_loc, nh, nr_loc)
+    # diploid pair posteriors: G[w,h1,h2] = sum_r log(.5 e^l1 + .5 e^l2)
+    l1 = ll[:, :, None, :]
+    l2 = ll[:, None, :, :]
+    pair = jnp.logaddexp(l1, l2) + jnp.log(0.5)
+    G_local = pair.sum(axis=-1)
+    G = lax.psum(G_local, axis_name="rp")
+    return ll, G
+
+
+def sharded_window_step(mesh: Mesh, H_pad: int, L_pad: int, numT: int, nh: int):
+    """Returns a jitted function over a packed window batch:
+    inputs (W, B, ...) sharded windows over 'dp', pairs over 'rp'."""
+    fn = partial(_window_step_local, H_pad, L_pad, numT, nh)
+    in_spec = (P("dp", "rp"),) * 3 + (P("dp", "rp", None),) * 10 + (P(),)
+
+    def wrapper(*args):
+        return fn(args)
+
+    sm = shard_map(wrapper, mesh=mesh,
+                   in_specs=in_spec,
+                   out_specs=(P("dp", None, "rp"), P("dp", None, None)),
+                   check_rep=False)
+    return jax.jit(sm)
+
+
+def pack_window_batch(windows, params: ObservationModelParameters,
+                      dtype=np.float32, H_pad=None, L_pad=None, n_rp: int = 1):
+    """windows: list of (haps, reads, hap_start) with identical nh, nr.
+    Returns stacked arrays (W, B, ...) + dims.  The pair axis is permuted
+    from hap-major (h*nr+r) to (read-shard, hap, read) order so a
+    contiguous 'rp' split keeps all haps with each read shard."""
+    pks = []
+    H_max = max(max(h.size() for h in w[0]) for w in windows)
+    L_max = max(max(r.size() for r in w[1]) for w in windows)
+    if H_pad is None:
+        H_pad = ((H_max + 15) // 16) * 16
+    if L_pad is None:
+        L_pad = ((max(L_max, 2) + 15) // 16) * 16
+    for haps, reads, hap_start in windows:
+        pks.append(pack_pairs(haps, reads, hap_start, params, dtype,
+                              H_pad=H_pad, L_pad=L_pad))
+    nh = pks[0]["nh"]
+    nr = pks[0]["nr"]
+    assert nr % n_rp == 0, "nr must divide evenly over the rp axis"
+    nr_loc = nr // n_rp
+    perm = np.array([h * nr + (s * nr_loc + r)
+                     for s in range(n_rp)
+                     for h in range(nh)
+                     for r in range(nr_loc)], np.int64)
+    keys = ["hap_len", "read_len", "b_mid", "read_codes", "hap_codes",
+            "eq", "uq", "lpe", "lpn", "lpeV", "lpnV",
+            "prior_rmq", "prior_hmq"]
+    stacked = [np.stack([pk[k][perm] for pk in pks]) for k in keys]
+    stacked.append(pks[0]["scalars"])
+    return stacked, pks[0]["H_pad"], pks[0]["L_pad"], pks[0]["numT"], nh
+
+
+def synth_windows(n_windows: int, nh: int, nr: int, H: int, L: int, seed: int = 0):
+    """Small synthetic windows for dry runs and benchmarks."""
+    import random
+    rng = random.Random(seed)
+    out = []
+    for w in range(n_windows):
+        ref = "".join(rng.choice("ACGT") for _ in range(H))
+        haps = [Haplotype(seq=ref)]
+        for _ in range(nh - 1):
+            k = rng.randrange(5, H - 8)
+            if rng.random() < 0.5:
+                haps.append(Haplotype(seq=ref[:k] + ref[k + rng.randint(1, 3):]))
+            else:
+                ins = "".join(rng.choice("ACGT") for _ in range(rng.randint(1, 3)))
+                haps.append(Haplotype(seq=ref[:k] + ins + ref[k:]))
+        reads = []
+        for _ in range(nr):
+            src = haps[rng.randrange(nh)].seq
+            start = rng.randrange(0, max(1, len(src) - L))
+            seq = src[start:start + L]
+            if len(seq) < L:
+                seq = seq + "".join(rng.choice("ACGT") for _ in range(L - len(seq)))
+            reads.append(Read(seq=seq,
+                              qual=np.full(L, 0.999),
+                              map_qual=1 - 1e-5,
+                              pos_stat_first=float(start)))
+        out.append((haps, reads, 0))
+    return out
+
+
+def dryrun_multichip(n_devices: int) -> None:
+    """Driver contract: build an n-device mesh, jit the full sharded window
+    step (dp x rp shardings with the rp psum collective) and execute one
+    step on tiny shapes."""
+    devices = jax.devices()
+    if len(devices) < n_devices:
+        raise RuntimeError(f"need {n_devices} devices, have {len(devices)}")
+    n_rp = 2 if n_devices % 2 == 0 else 1
+    n_dp = n_devices // n_rp
+    mesh = make_mesh(n_dp, n_rp, devices)
+
+    nh = 3
+    nr_per_shard = 4
+    nr = nr_per_shard * n_rp
+    W = 2 * n_dp
+    windows = synth_windows(W, nh, nr, H=48, L=32)
+    params = ObservationModelParameters()
+    args, H_pad, L_pad, numT, nh_ = pack_window_batch(
+        windows, params, dtype=np.float32, n_rp=n_rp)
+    step = sharded_window_step(mesh, H_pad, L_pad, numT, nh_)
+    with mesh:
+        ll, G = step(*[jnp.asarray(a) for a in args])
+        ll.block_until_ready()
+    assert ll.shape == (W, nh, nr)
+    assert G.shape == (W, nh, nh)
+    assert bool(jnp.isfinite(G).all())

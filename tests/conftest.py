@@ -3,12 +3,23 @@ import subprocess
 import sys
 from pathlib import Path
 
-# Force a CPU mesh with 8 virtual devices for sharding tests; single real
-# TPU is exercised only by bench.py.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force a CPU mesh with 8 virtual devices for sharding tests; the single
+# real TPU is exercised only by bench.py.  (The environment presets
+# JAX_PLATFORMS=axon, so this must be an override, not a setdefault.)
+os.environ["JAX_PLATFORMS"] = "cpu"
 prev = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in prev:
     os.environ["XLA_FLAGS"] = (prev + " --xla_force_host_platform_device_count=8").strip()
+
+# sitecustomize imports jax at interpreter start (before this file runs), so
+# the env vars above were already captured — override the live config too.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
