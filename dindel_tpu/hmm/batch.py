@@ -17,12 +17,14 @@ this module must match bit-for-bit in float64). Design notes:
   is reproduced exactly by folding candidates in the reference's program
   order; the bMid-slice likelihood fold (:1096-1117) is an order-dependent
   scan over states and is emulated with lax.scan.
-- Backpointers for both directions are stored (L x B x S int32) and the
+- Backpointers for both directions are stored (L x B x S int16) and the
   MAP path is reconstructed with two short scans; per-read variant events
   are extracted on host (hmm/reference._report_variants) for parity.
 
-The same jitted function runs on CPU (float64, bit-parity tests) and TPU
-(float32 by default; see bench.py).
+The DP recursions have two interchangeable implementations: pure-XLA scans
+(_dp_xla — runs anywhere, float64 bit-parity on CPU) and a fused Pallas
+TPU kernel (hmm/pallas_kernel.py — the production path on TPU).  The
+likelihood folds + backtrack (_finish) are shared.
 """
 
 from __future__ import annotations
@@ -58,100 +60,69 @@ def _fold(dest_v, dest_i, cand_v, cand_i):
 
 
 @partial(jax.jit, static_argnames=("H_pad", "L_pad", "numT"))
-def _hmm_forward(H_pad, L_pad, numT,
-                 hap_len,        # (B,) int32  true hap length Hh
-                 read_len,       # (B,) int32
-                 b_mid,          # (B,) int32
-                 read_codes,     # (B, L_pad) int8 (ACGT/N as uint8 ascii)
-                 hap_codes,      # (B, H_pad) int8
-                 eq,             # (B, L_pad)  log(.25+.75 pr)
-                 uq,             # (B, L_pad)  log(.75+1e-10-.75 pr)
-                 lpe,            # (B, S_half) homopolymer log err
-                 lpn,            # (B, S_half)
-                 lpeV,           # (B, S_half + numT) clamped-to-RO variant
-                 lpnV,           # (B, S_half + numT)
-                 prior_rmq,      # (B, S) bMid prior with real mapQual
-                 prior_hmq,      # (B, S) with mapQual 1-1e-10
-                 scalars,        # (4,) logpLOgLO, logpFirstgLO, logpInsgIns, pError-derived
-                 ):
+def _dp_xla(H_pad, L_pad, numT,
+            hap_len, read_len, b_mid, read_codes, hap_codes,
+            eq, uq, lpe, lpn, lpeV, lpnV, scalars):
+    """XLA-scan implementation of the two DP recursions.
+    Returns (alpha_mid, beta_mid, btf, btb); btf[b-1] are the forward
+    backpointers of slice b (b=1..L_pad-1), btb[b] the backward successors
+    of slice b (b=0..L_pad-2)."""
     B = hap_len.shape[0]
     S_half = H_pad + 2
     S = 2 * S_half
     RO = H_pad + 1
     dtype = eq.dtype
 
-    # all derived constants precomputed on host with libm (bit-parity with
-    # the reference's setupTransitionProbs)
     logpLOgLO, logpFirstgLO, logpInsgIns, logpNoInsgIns, logpNoInsgNoIns = (
         scalars[0], scalars[1], scalars[2], scalars[3], scalars[4])
 
-    xs_state = jnp.arange(S_half, dtype=jnp.int32)[None, :]          # (1, S_half)
-    live = (xs_state <= hap_len[:, None]) | (xs_state == RO)         # (B, S_half)
-    live2 = jnp.concatenate([live, live], axis=1)                    # (B, S)
-    idx_base = jnp.arange(S, dtype=jnp.int32)[None, :].repeat(B, 0)  # (B, S)
-
-    # idxV[j] = j if j <= Hh else RO, for j in 0..S_half+numT-1
+    xs_state = jnp.arange(S_half, dtype=jnp.int32)[None, :]
+    live = (xs_state <= hap_len[:, None]) | (xs_state == RO)
+    live2 = jnp.concatenate([live, live], axis=1)
+    idx_base = jnp.arange(S, dtype=jnp.int32)[None, :].repeat(B, 0)
     j_idx = jnp.arange(S_half + numT, dtype=jnp.int32)[None, :]
-    idxV = jnp.where(j_idx <= hap_len[:, None], j_idx, RO)           # (B, S_half+numT)
-
+    idxV = jnp.where(j_idx <= hap_len[:, None], j_idx, RO)
     hl = hap_len[:, None]
 
     def obs_slice(b):
-        """Observation potentials at read base b: (B, S)."""
-        rb = read_codes[:, b][:, None]                                # (B,1)
+        rb = read_codes[:, b][:, None]
         e = eq[:, b][:, None]
         u = uq[:, b][:, None]
-        mismatch = (hap_codes != rb) & (hap_codes != ord("N"))        # (B, H_pad)
-        on = jnp.where(mismatch, u, e)                                # (B, H_pad)
-        noins = jnp.concatenate([e, on, e], axis=1)                   # (B, S_half)
+        mismatch = (hap_codes != rb) & (hap_codes != ord("N"))
+        on = jnp.where(mismatch, u, e)
+        noins = jnp.concatenate([e, on, e], axis=1)
         ins = jnp.broadcast_to(e, (B, S_half)).astype(dtype)
         return jnp.concatenate([noins, ins], axis=1)
 
     def gather_col(M, col):
-        """M: (B, K), col: (B,) -> (B,) M[i, col[i]]."""
         return jnp.take_along_axis(M, col[:, None], axis=1)[:, 0]
 
-    # ------------------------------------------------------------------
-    # Dec pass: alpha[b] from alpha[b-1] (read position increasing)
-    # FBMaxErr::passMessageTwoDec (ObservationModelFB.cpp:1775-1829)
-    # ------------------------------------------------------------------
+    # Dec pass (FBMaxErr::passMessageTwoDec, ObservationModelFB.cpp:1775-1829)
     def dec_step(A, O):
-        W = A + O                                                     # (B, S)
+        W = A + O
         Wn = W[:, :S_half]
         Wi = W[:, S_half:]
-        val = jnp.full((B, S), NEGBIG, dtype=dtype)
-        bti = idx_base
-        v = val
-        i = bti
-
-        # dest noins RO: candidates in program order
         dRO_v = jnp.full((B,), NEGBIG, dtype=dtype)
         dRO_i = jnp.full((B,), RO, dtype=jnp.int32)
         dRO_v, dRO_i = _fold(dRO_v, dRO_i,
                              W[:, RO] + logpLOgLO + logpNoInsgNoIns,
                              jnp.full((B,), RO, jnp.int32))
-        WnH = gather_col(Wn, hap_len)                                 # W[Hh]
+        WnH = gather_col(Wn, hap_len)
         dRO_v, dRO_i = _fold(dRO_v, dRO_i,
                              WnH + logpFirstgLO + logpNoInsgNoIns, hap_len)
-
-        # dest noins x in 1..H_pad: deletion/match candidates y = 1..numT-1
         dx_v = jnp.full((B, S_half), NEGBIG, dtype=dtype)
         dx_i = idx_base[:, :S_half]
-        x_idx = xs_state  # (1, S_half)
+        x_idx = xs_state
         for y in range(1, numT):
-            # src = max(x - y, 0)
-            src_idx = jnp.maximum(x_idx - y, 0)                      # (1, S_half)
+            src_idx = jnp.maximum(x_idx - y, 0)
             srcW = jnp.take_along_axis(
                 Wn, jnp.broadcast_to(src_idx, (B, S_half)), axis=1)
             lp = lpn if y == 1 else (lpe + (y - 1) * logpInsgIns)
             cand = srcW + lp + lpn
             dx_v, dx_i = _fold(dx_v, dx_i, cand,
                                jnp.broadcast_to(src_idx, (B, S_half)))
-        # dest noins 0: assign (overwrites)
         d0_v = W[:, 0] + logpNoInsgNoIns
         d0_i = jnp.zeros((B,), jnp.int32)
-
-        # dest RO: insertion exits
         dRO_v, dRO_i = _fold(dRO_v, dRO_i,
                              W[:, S_half + RO] + logpLOgLO + lpe[:, RO],
                              jnp.full((B,), S_half + RO, jnp.int32))
@@ -159,28 +130,19 @@ def _hmm_forward(H_pad, L_pad, numT,
         lpeH = gather_col(lpe, hap_len)
         dRO_v, dRO_i = _fold(dRO_v, dRO_i,
                              WiH + logpFirstgLO + lpeH, S_half + hap_len)
-
-        # dest noins x in 1..Hh: insertion exit from ins (x-1)
         src_idx = jnp.maximum(x_idx - 1, 0)
         srcWi = jnp.take_along_axis(
             Wi, jnp.broadcast_to(src_idx, (B, S_half)), axis=1)
         cand = srcWi + lpe
         dx_v, dx_i = _fold(dx_v, dx_i, cand,
                            S_half + jnp.broadcast_to(src_idx, (B, S_half)))
-
-        # dest ins x (all): extension assign
         di_v = Wi + logpInsgIns
         di_i = idx_base[:, S_half:]
-
-        # dest ins x in 1..Hh and ins-RO: open from noins x
         open_cand = Wn + logpNoInsgIns
-        open_ok = (x_idx >= 1)  # x=0 excluded
-        di_v2, di_i2 = _fold(di_v, di_i,
-                             jnp.where(open_ok, open_cand, NEGBIG),
-                             jnp.where(open_ok, idx_base[:, :S_half], di_i))
-        di_v, di_i = di_v2, di_i2
-
-        # assemble noins half: x=0 -> d0, x=RO -> dRO, else dx
+        open_ok = (x_idx >= 1)
+        di_v, di_i = _fold(di_v, di_i,
+                           jnp.where(open_ok, open_cand, NEGBIG),
+                           jnp.where(open_ok, idx_base[:, :S_half], di_i))
         noins_v = dx_v.at[:, 0].set(d0_v).at[:, RO].set(dRO_v)
         noins_i = dx_i.at[:, 0].set(d0_i).at[:, RO].set(dRO_i)
         newA = jnp.concatenate([noins_v, di_v], axis=1)
@@ -189,23 +151,16 @@ def _hmm_forward(H_pad, L_pad, numT,
         newI = jnp.where(live2, newI, idx_base)
         return newA, newI
 
-    # ------------------------------------------------------------------
-    # Inc pass: beta[b-1] from beta[b]
-    # FBMaxErr::passMessageTwoInc (ObservationModelFB.cpp:1715-1773)
-    # ------------------------------------------------------------------
+    # Inc pass (FBMaxErr::passMessageTwoInc, ObservationModelFB.cpp:1715-1773)
     def inc_step(Bt, O):
         W = Bt + O
         Wn = W[:, :S_half]
         Wi = W[:, S_half:]
         WnRO = Wn[:, RO][:, None]
-        # V_n[j] = Wn[j] if j<=Hh else Wn[RO], extended to S_half+numT
         Vn_core = jnp.where(xs_state <= hl, Wn, WnRO)
         Vn = jnp.concatenate(
             [Vn_core, jnp.broadcast_to(WnRO, (B, numT)).astype(dtype)], axis=1)
-
         x_idx = xs_state
-
-        # dest noins 0
         d0_v = jnp.full((B,), NEGBIG, dtype=dtype)
         d0_i = jnp.zeros((B,), jnp.int32)
         d0_v, d0_i = _fold(d0_v, d0_i,
@@ -214,8 +169,6 @@ def _hmm_forward(H_pad, L_pad, numT,
         d0_v, d0_i = _fold(d0_v, d0_i,
                            W[:, 1] + logpFirstgLO + logpNoInsgNoIns,
                            jnp.ones((B,), jnp.int32))
-
-        # dest noins x in 1..Hh: y = 1..numT-1, src = clamp(x+y)
         dx_v = jnp.full((B, S_half), NEGBIG, dtype=dtype)
         dx_i = idx_base[:, :S_half]
         for y in range(1, numT):
@@ -226,43 +179,32 @@ def _hmm_forward(H_pad, L_pad, numT,
             lp = src_lpn if y == 1 else (src_lpe + (y - 1) * logpInsgIns)
             cand = lp + src_lpn + srcW
             dx_v, dx_i = _fold(dx_v, dx_i, cand, src_i)
-
-        # dest noins RO
         dRO_v = jnp.full((B,), NEGBIG, dtype=dtype)
         dRO_i = jnp.full((B,), RO, jnp.int32)
         dRO_v, dRO_i = _fold(dRO_v, dRO_i, W[:, RO] + lpn[:, RO],
                              jnp.full((B,), RO, jnp.int32))
-
-        # dest noins x in 0..Hh: ins open (src ins x, cost lpe[x+1]);
-        # x = RO: cost 0
         lpe_x1 = jnp.concatenate(
-            [lpe[:, 1:], jnp.zeros((B, 1), dtype)], axis=1)           # lpe[x+1]
+            [lpe[:, 1:], jnp.zeros((B, 1), dtype)], axis=1)
         cost = jnp.where(x_idx == RO, jnp.zeros((), dtype), lpe_x1)
         cand = Wi + cost
         dx_v, dx_i = _fold(dx_v, dx_i, cand, S_half + idx_base[:, :S_half])
-        # merge the x=0 / RO lanes computed separately
         dx0_v, dx0_i = _fold(d0_v, d0_i, cand[:, 0],
                              jnp.full((B,), S_half + 0, jnp.int32))
         dxRO_v, dxRO_i = _fold(dRO_v, dRO_i, cand[:, RO],
                                jnp.full((B,), S_half + RO, jnp.int32))
-
-        # dest ins x: extension assign
         di_v = Wi + logpInsgIns
         di_i = idx_base[:, S_half:]
-        # dest ins 0: exit to noins 0
         di0_v, di0_i = _fold(di_v[:, 0], di_i[:, 0],
                              Wn[:, 0] + logpNoInsgIns,
                              jnp.zeros((B,), jnp.int32))
-        # dest ins x in 1..H_pad+1: exit to noins clamp(x+1)
         srcW = lax.dynamic_slice_in_dim(Vn, 1, S_half, axis=1)
         src_i = lax.dynamic_slice_in_dim(idxV, 1, S_half, axis=1)
         exit_ok = x_idx >= 1
-        di_v2, di_i2 = _fold(di_v, di_i,
-                             jnp.where(exit_ok, srcW + logpNoInsgIns, NEGBIG),
-                             jnp.where(exit_ok, src_i, di_i))
-        di_v = di_v2.at[:, 0].set(di0_v)
-        di_i = di_i2.at[:, 0].set(di0_i)
-
+        di_v, di_i = _fold(di_v, di_i,
+                           jnp.where(exit_ok, srcW + logpNoInsgIns, NEGBIG),
+                           jnp.where(exit_ok, src_i, di_i))
+        di_v = di_v.at[:, 0].set(di0_v)
+        di_i = di_i.at[:, 0].set(di0_i)
         noins_v = dx_v.at[:, 0].set(dx0_v).at[:, RO].set(dxRO_v)
         noins_i = dx_i.at[:, 0].set(dx0_i).at[:, RO].set(dxRO_i)
         newB = jnp.concatenate([noins_v, di_v], axis=1)
@@ -271,10 +213,8 @@ def _hmm_forward(H_pad, L_pad, numT,
         newI = jnp.where(live2, newI, idx_base)
         return newB, newI
 
-    # ------------------------------------------------------------------
-    # scans
-    # ------------------------------------------------------------------
     zero_state = jnp.zeros((B, S), dtype=dtype)
+    idx_base16 = idx_base.astype(jnp.int16)
 
     def fwd_body(carry, b):
         A, a_mid = carry
@@ -283,40 +223,38 @@ def _hmm_forward(H_pad, L_pad, numT,
         a_mid = jnp.where((b_mid == b)[:, None], newA, a_mid)
         return (newA, a_mid), btf_b.astype(jnp.int16)
 
-    (A_last, alpha_mid), btf = lax.scan(
+    (_, alpha_mid), btf = lax.scan(
         fwd_body, (zero_state, zero_state), jnp.arange(1, L_pad))
-    alpha_mid = jnp.where((b_mid == 0)[:, None],
-                          zero_state, alpha_mid)
 
     def bwd_body(carry, b):
         Bt, b_mid_acc = carry
         O = obs_slice(b)
         newB, btb_b = inc_step(Bt, O)
-        # padded slices: beta[b-1] = 0 when b-1 >= read_len-1
         pad = ((b - 1) >= (read_len - 1))[:, None]
         newB = jnp.where(pad, zero_state, newB)
         btb_b = jnp.where(pad, idx_base, btb_b)
         b_mid_acc = jnp.where((b_mid == (b - 1))[:, None], newB, b_mid_acc)
         return (newB, b_mid_acc), btb_b.astype(jnp.int16)
 
-    beta_init = zero_state
-    beta_mid_init = jnp.where((b_mid == (L_pad - 1))[:, None],
-                              zero_state, zero_state)
-    (B_last, beta_mid), btb_rev = lax.scan(
-        bwd_body, (beta_init, beta_mid_init), jnp.arange(L_pad - 1, 0, -1))
+    (_, beta_mid), btb_rev = lax.scan(
+        bwd_body, (zero_state, zero_state), jnp.arange(L_pad - 1, 0, -1))
     beta_mid = jnp.where((b_mid == (L_pad - 1))[:, None], zero_state, beta_mid)
-    # also handle b_mid == read_len-1 < L_pad-1: beta there is 0 by pad rule;
-    # the accumulator already captured it (newB was zeroed).
-
-    # btb[b] for b = 0..L_pad-2 in increasing order
     btb = btb_rev[::-1]
+    return alpha_mid, beta_mid, btf, btb
 
-    # ------------------------------------------------------------------
-    # bMid-slice likelihood folds (calcLikelihoodFromLastSlice,
-    # ObservationModelFB.cpp:1075-1144)
-    # ------------------------------------------------------------------
-    obs_mid = _gather_slices(obs_slice, b_mid, B, S, L_pad, dtype)
-    base = alpha_mid + obs_mid + beta_mid                             # (B, S)
+
+@partial(jax.jit, static_argnames=("H_pad", "L_pad"))
+def _finish(H_pad, L_pad, b_mid,
+            alpha_mid, beta_mid, obs_mid, prior_rmq, prior_hmq, btf, btb):
+    """bMid-slice likelihood folds (calcLikelihoodFromLastSlice,
+    ObservationModelFB.cpp:1075-1144) + MAP-state reconstruction."""
+    B = b_mid.shape[0]
+    S_half = H_pad + 2
+    S = 2 * S_half
+    RO = H_pad + 1
+    dtype = alpha_mid.dtype
+
+    base = alpha_mid + obs_mid + beta_mid
     vr = base + prior_rmq
     vh = base + prior_hmq
 
@@ -341,22 +279,18 @@ def _hmm_forward(H_pad, L_pad, numT,
     zero_i = jnp.zeros((B,), jnp.int32)
     (ll, map_rmq, ll_hmq, s_mid, ll_off, ll_on), _ = lax.scan(
         lik_fold, (neg, zero_i, neg, zero_i, neg, neg),
-        jnp.arange(S, dtype=jnp.int32))
+        jnp.arange(S, dtype=jnp.int32), unroll=8)
 
-    # ------------------------------------------------------------------
-    # MAP state reconstruction
-    # ------------------------------------------------------------------
     def down_body(cur, t):
-        b = t  # slice index from L_pad-1 down to 1
-        bt_b = btf[b - 1].astype(jnp.int32)  # btf stacked over b=1..L_pad-1
+        b = t
+        bt_b = btf[b - 1].astype(jnp.int32)
         nxt = jnp.take_along_axis(bt_b, cur[:, None], axis=1)[:, 0]
         cur2 = jnp.where(b <= b_mid, nxt, cur)
         return cur2, cur2
 
     _, down_states = lax.scan(down_body, s_mid,
                               jnp.arange(L_pad - 1, 0, -1))
-    # down_states[t] corresponds to mapState[b-1] for b = L_pad-1-t
-    down_states = down_states[::-1]  # now index b-1 = 0..L_pad-2
+    down_states = down_states[::-1]
 
     def up_body(cur, b):
         bt_b = btb[b].astype(jnp.int32)
@@ -365,11 +299,10 @@ def _hmm_forward(H_pad, L_pad, numT,
         return cur2, cur2
 
     _, up_states = lax.scan(up_body, s_mid, jnp.arange(0, L_pad - 1))
-    # up_states[b] = mapState[b+1] when b >= b_mid
 
     b_axis = jnp.arange(L_pad, dtype=jnp.int32)[None, :]
     ms_down = jnp.concatenate([down_states.transpose(1, 0),
-                               s_mid[:, None]], axis=1)   # index b: down for b<=...
+                               s_mid[:, None]], axis=1)
     ms_up = jnp.concatenate([s_mid[:, None],
                              up_states.transpose(1, 0)], axis=1)
     map_state = jnp.where(b_axis < b_mid[:, None], ms_down,
@@ -378,27 +311,63 @@ def _hmm_forward(H_pad, L_pad, numT,
 
     off_hap_hmq = ((s_mid % S_half) == 0) | ((s_mid % S_half) == RO)
     off_hap = ((map_rmq % S_half) == 0) | ((map_rmq % S_half) == RO)
-    return (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state,
-            alpha_mid, beta_mid, obs_mid)
+    return ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state
 
 
-def _gather_slices(obs_slice_fn, b_mid, B, S, L_pad, dtype):
-    """obs at per-pair bMid: computed by a select-scan to avoid storing all
-    obs slices."""
-    def body(acc, b):
-        O = obs_slice_fn(b)
-        acc = jnp.where((b_mid == b)[:, None], O, acc)
-        return acc, None
-    acc, _ = lax.scan(body, jnp.zeros((B, S), dtype=dtype),
-                      jnp.arange(L_pad))
-    return acc
+def compute_obs_mid(pk: dict) -> np.ndarray:
+    """Observation potentials at each pair's bMid slice, host-side
+    (setupReadObservationPotentials at one slice)."""
+    B = pk["hap_len"].shape[0]
+    H_pad = pk["H_pad"]
+    S_half = H_pad + 2
+    bm = pk["b_mid"]
+    rows = np.arange(B)
+    e = pk["eq"][rows, bm][:, None]
+    u = pk["uq"][rows, bm][:, None]
+    rb = pk["read_codes"][rows, bm][:, None]
+    mismatch = (pk["hap_codes"] != rb) & (pk["hap_codes"] != ord("N"))
+    on = np.where(mismatch, u, e)
+    noins = np.concatenate([e, on, e * np.ones((B, 1))], axis=1)
+    ins = np.broadcast_to(e, (B, S_half))
+    return np.concatenate([noins, ins], axis=1).astype(pk["eq"].dtype)
+
+
+_DP_IMPLS = {}
+
+
+def get_dp_impl(name: str):
+    if name == "xla":
+        return _dp_xla
+    if name == "pallas":
+        from .pallas_kernel import dp_pallas
+        return dp_pallas
+    raise ValueError(name)
+
+
+def run_packed(pk: dict, dp_impl: str = "xla"):
+    """Run DP + finish on a packed dict; returns device outputs
+    (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state)."""
+    dp = get_dp_impl(dp_impl)
+    alpha_mid, beta_mid, btf, btb = dp(
+        pk["H_pad"], pk["L_pad"], pk["numT"],
+        jnp.asarray(pk["hap_len"]), jnp.asarray(pk["read_len"]),
+        jnp.asarray(pk["b_mid"]), jnp.asarray(pk["read_codes"]),
+        jnp.asarray(pk["hap_codes"]), jnp.asarray(pk["eq"]),
+        jnp.asarray(pk["uq"]), jnp.asarray(pk["lpe"]), jnp.asarray(pk["lpn"]),
+        jnp.asarray(pk["lpeV"]), jnp.asarray(pk["lpnV"]),
+        jnp.asarray(pk["scalars"]))
+    obs_mid = jnp.asarray(compute_obs_mid(pk))
+    return _finish(pk["H_pad"], pk["L_pad"], jnp.asarray(pk["b_mid"]),
+                   alpha_mid, beta_mid, obs_mid,
+                   jnp.asarray(pk["prior_rmq"]), jnp.asarray(pk["prior_hmq"]),
+                   btf, btb)
 
 
 def pack_pairs(haps: List[Haplotype], reads: List[Read], hap_start: int,
                p: ObservationModelParameters, dtype=np.float64,
                bucket: int = 16, H_pad: int = None, L_pad: int = None) -> dict:
     """Pack a window's (haps x reads) pairs into the fixed-layout arrays
-    consumed by _hmm_forward. Returns a dict incl. static dims."""
+    consumed by the DP kernels. Returns a dict incl. static dims."""
     nh, nr = len(haps), len(reads)
     H_max = max(h.size() for h in haps)
     L_max = max(r.size() for r in reads)
@@ -450,7 +419,6 @@ def pack_pairs(haps: List[Haplotype], reads: List[Read], hap_start: int,
             uq[i, :L] = np.log(0.75 + 1e-10 - 0.75 * pr)
             lpe[i, :Hh + 2] = e_
             lpn[i, :Hh + 2] = n_
-            # priors at the bMid slice (with the fixed-layout RO):
             pr_r = compute_b_mid_prior(tr_dummy, r, hap_start, Hh, p,
                                        r.map_qual, bm)
             pr_h = compute_b_mid_prior(tr_dummy, r, hap_start, Hh, p,
@@ -470,7 +438,6 @@ def pack_pairs(haps: List[Haplotype], reads: List[Read], hap_start: int,
         core_n[:Hh + 1] = lpn[i, :Hh + 1]
         lpeV[i] = core_e
         lpnV[i] = core_n
-        # remap per-hap RO prior/lpe entries to the fixed RO slot
         if ROi != H_pad + 1:
             lpe[i, H_pad + 1] = lpe[i, ROi]
             lpn[i, H_pad + 1] = lpn[i, ROi]
@@ -480,7 +447,6 @@ def pack_pairs(haps: List[Haplotype], reads: List[Read], hap_start: int,
                         -0.5,
                         math.log(1.0 - math.exp(-0.5)),
                         math.log(1.0 - p.p_error)], dt)
-
     return dict(H_pad=H_pad, L_pad=L_pad, numT=numT, nh=nh, nr=nr,
                 hap_len=hap_len, read_len=read_len, b_mid=b_mid,
                 read_codes=read_codes, hap_codes=hap_codes, eq=eq, uq=uq,
@@ -488,29 +454,16 @@ def pack_pairs(haps: List[Haplotype], reads: List[Read], hap_start: int,
                 prior_rmq=prior_rmq, prior_hmq=prior_hmq, scalars=scalars)
 
 
-def run_packed(pk: dict):
-    """Run the jitted kernel on a packed dict; returns numpy outputs."""
-    out = _hmm_forward(
-        pk['H_pad'], pk['L_pad'], pk['numT'],
-        jnp.asarray(pk['hap_len']), jnp.asarray(pk['read_len']),
-        jnp.asarray(pk['b_mid']), jnp.asarray(pk['read_codes']),
-        jnp.asarray(pk['hap_codes']), jnp.asarray(pk['eq']),
-        jnp.asarray(pk['uq']), jnp.asarray(pk['lpe']), jnp.asarray(pk['lpn']),
-        jnp.asarray(pk['lpeV']), jnp.asarray(pk['lpnV']),
-        jnp.asarray(pk['prior_rmq']), jnp.asarray(pk['prior_hmq']),
-        jnp.asarray(pk['scalars']))
-    return out
-
-
 class BatchedPairHMM:
-    """Window-level driver: packs haps/reads, runs the jitted kernel
-    (bucketed by padded shapes), converts back to MLAlignment."""
+    """Window-level driver: packs haps/reads, runs the kernels (bucketed
+    by padded shapes), converts back to MLAlignment."""
 
     def __init__(self, params: ObservationModelParameters,
-                 dtype=np.float64, bucket: int = 16):
+                 dtype=np.float64, bucket: int = 16, dp_impl: str = "xla"):
         self.params = params
         self.dtype = dtype
         self.bucket = bucket
+        self.dp_impl = dp_impl
 
     def compute(self, haps: List[Haplotype], reads: List[Read],
                 hap_start: int) -> List[List[MLAlignment]]:
@@ -519,10 +472,10 @@ class BatchedPairHMM:
         if nh == 0 or nr == 0:
             return [[]]
         pk = pack_pairs(haps, reads, hap_start, p, self.dtype, self.bucket)
-        H_pad = pk['H_pad']
+        H_pad = pk["H_pad"]
 
-        (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state,
-         _amid, _bmid, _omid) = run_packed(pk)
+        (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state) = run_packed(
+            pk, self.dp_impl)
         ll = np.asarray(ll)
         off_hap = np.asarray(off_hap)
         off_hap_hmq = np.asarray(off_hap_hmq)
@@ -530,8 +483,6 @@ class BatchedPairHMM:
         ll_on = np.asarray(ll_on)
         map_state = np.asarray(map_state)
 
-        # convert back: remap fixed-layout states to per-pair numS layout and
-        # extract events on host
         liks: List[List[MLAlignment]] = []
         for hi, hap in enumerate(haps):
             row = []

@@ -26,14 +26,21 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-try:
-    from jax import shard_map
-except ImportError:  # older jax
+import warnings
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore", DeprecationWarning)
+    # the jax.shard_map variant enforces varying-manual-axes typing on
+    # scan carries, which the DP scans don't annotate; the experimental
+    # entry point with check_rep=False matches our replication semantics
     from jax.experimental.shard_map import shard_map
 
 from ..config import ObservationModelParameters
-from ..hmm.batch import _hmm_forward, pack_pairs
+from ..hmm.batch import _dp_xla, _finish, compute_obs_mid, pack_pairs
 from ..model import Haplotype, Read
+
+PACK_KEYS = ["hap_len", "read_len", "b_mid", "read_codes", "hap_codes",
+             "eq", "uq", "lpe", "lpn", "lpeV", "lpnV",
+             "prior_rmq", "prior_hmq", "obs_mid"]
 
 
 def make_mesh(n_dp: int, n_rp: int, devices=None) -> Mesh:
@@ -47,17 +54,20 @@ def _window_step_local(H_pad, L_pad, numT, nh, args):
     """Per-shard computation: batched HMM over the local (window, hap,
     read-shard) pairs + partial genotype matrix, completed by psum."""
     (hap_len, read_len, b_mid, read_codes, hap_codes, eq, uq,
-     lpe, lpn, lpeV, lpnV, prior_rmq, prior_hmq, scalars) = args
+     lpe, lpn, lpeV, lpnV, prior_rmq, prior_hmq, obs_mid, scalars) = args
 
     W_loc = hap_len.shape[0]
 
     def one_window(a):
-        out = _hmm_forward(H_pad, L_pad, numT, *a)
+        (hl, rl, bm, rc, hc, e, u, le, ln, leV, lnV, prr, prh, om, sc) = a
+        amid, bmid_, btf, btb = _dp_xla(H_pad, L_pad, numT, hl, rl, bm, rc,
+                                        hc, e, u, le, ln, leV, lnV, sc)
+        out = _finish(H_pad, L_pad, bm, amid, bmid_, om, prr, prh, btf, btb)
         return out[0]  # ll, (B,) = (nh * nr_loc,)
 
     ll = jax.vmap(one_window)(
         (hap_len, read_len, b_mid, read_codes, hap_codes, eq, uq,
-         lpe, lpn, lpeV, lpnV, prior_rmq, prior_hmq,
+         lpe, lpn, lpeV, lpnV, prior_rmq, prior_hmq, obs_mid,
          jnp.broadcast_to(scalars, (W_loc,) + scalars.shape)))
     nr_loc = ll.shape[1] // nh
     ll = ll.reshape(W_loc, nh, nr_loc)
@@ -74,7 +84,7 @@ def sharded_window_step(mesh: Mesh, H_pad: int, L_pad: int, numT: int, nh: int):
     """Returns a jitted function over a packed window batch:
     inputs (W, B, ...) sharded windows over 'dp', pairs over 'rp'."""
     fn = partial(_window_step_local, H_pad, L_pad, numT, nh)
-    in_spec = (P("dp", "rp"),) * 3 + (P("dp", "rp", None),) * 10 + (P(),)
+    in_spec = (P("dp", "rp"),) * 3 + (P("dp", "rp", None),) * 11 + (P(),)
 
     def wrapper(*args):
         return fn(args)
@@ -100,8 +110,10 @@ def pack_window_batch(windows, params: ObservationModelParameters,
     if L_pad is None:
         L_pad = ((max(L_max, 2) + 15) // 16) * 16
     for haps, reads, hap_start in windows:
-        pks.append(pack_pairs(haps, reads, hap_start, params, dtype,
-                              H_pad=H_pad, L_pad=L_pad))
+        pk = pack_pairs(haps, reads, hap_start, params, dtype,
+                        H_pad=H_pad, L_pad=L_pad)
+        pk["obs_mid"] = compute_obs_mid(pk)
+        pks.append(pk)
     nh = pks[0]["nh"]
     nr = pks[0]["nr"]
     assert nr % n_rp == 0, "nr must divide evenly over the rp axis"
@@ -110,10 +122,7 @@ def pack_window_batch(windows, params: ObservationModelParameters,
                      for s in range(n_rp)
                      for h in range(nh)
                      for r in range(nr_loc)], np.int64)
-    keys = ["hap_len", "read_len", "b_mid", "read_codes", "hap_codes",
-            "eq", "uq", "lpe", "lpn", "lpeV", "lpnV",
-            "prior_rmq", "prior_hmq"]
-    stacked = [np.stack([pk[k][perm] for pk in pks]) for k in keys]
+    stacked = [np.stack([pk[k][perm] for pk in pks]) for k in PACK_KEYS]
     stacked.append(pks[0]["scalars"])
     return stacked, pks[0]["H_pad"], pks[0]["L_pad"], pks[0]["numT"], nh
 
