@@ -65,8 +65,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from dindel_tpu.config import ObservationModelParameters
-    from dindel_tpu.hmm.batch import pack_pairs, _hmm_forward
+    from dindel_tpu.hmm.batch import (pack_pairs, compute_obs_mid, _finish,
+                                      get_dp_impl)
     from dindel_tpu.parallel.mesh import synth_windows
 
     # realistic window scale: 8 haplotypes x 768 reads, 160bp haps, 100bp
@@ -74,25 +79,35 @@ def main():
     nh, nr, H, L = 8, 768, 160, 100
     params = ObservationModelParameters()
     (haps, reads, hap_start), = synth_windows(1, nh=nh, nr=nr, H=H, L=L, seed=1)
-    pk = pack_pairs(haps, reads, hap_start, params, dtype=np.float32)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    # TPU path: lane-aligned state axis for the fused Pallas DP kernel
+    pk = pack_pairs(haps, reads, hap_start, params, dtype=np.float32,
+                    H_pad=254 if on_tpu else None,
+                    L_pad=128 if on_tpu else None)
     keys = ["hap_len", "read_len", "b_mid", "read_codes", "hap_codes",
-            "eq", "uq", "lpe", "lpn", "lpeV", "lpnV",
-            "prior_rmq", "prior_hmq", "scalars"]
-    args = [jnp.asarray(pk[k]) for k in keys]
+            "eq", "uq", "lpe", "lpn", "lpeV", "lpnV"]
+    args = [jnp.asarray(pk[k]) for k in keys] + [jnp.asarray(pk["scalars"])]
+    obs_mid = jnp.asarray(compute_obs_mid(pk))
+    prr = jnp.asarray(pk["prior_rmq"])
+    prh = jnp.asarray(pk["prior_hmq"])
+    bm = jnp.asarray(pk["b_mid"])
+    dp = get_dp_impl("pallas" if on_tpu else "xla")
 
     def run():
-        out = _hmm_forward(pk["H_pad"], pk["L_pad"], pk["numT"], *args)
-        return out[0]
+        amid, bmid_, btf, btb = dp(pk["H_pad"], pk["L_pad"], pk["numT"], *args)
+        return _finish(pk["H_pad"], pk["L_pad"], bm, amid, bmid_, obs_mid,
+                       prr, prh, btf, btb)
 
-    # warmup/compile
-    ll = run()
-    ll.block_until_ready()
+    # warmup/compile; fetch to host to force full completion (the axon
+    # tunnel's block_until_ready does not wait for remote execution)
+    out = run()
+    np.asarray(out[0])
 
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
-        ll = run()
-    ll.block_until_ready()
+        out = run()
+    np.asarray(out[0])
     dt = (time.perf_counter() - t0) / reps
 
     B = nh * nr

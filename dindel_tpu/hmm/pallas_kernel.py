@@ -1,0 +1,411 @@
+"""Fused Pallas TPU kernel for the pair-HMM DP recursions.
+
+Replaces _dp_xla on TPU: the whole forward (Dec) and backward (Inc)
+recursion runs inside one kernel per pair-tile with all DP state resident
+in VMEM; per-step backpointers are written out to HBM by DMA.  Numerical
+semantics match hmm/batch._dp_xla (and hence ObservationModelFBMaxErr):
+same candidate fold order, same dead-state masking.  Tie-breaking is
+exact with exact_ties=True; the default fast fold collapses the
+EPS/1e-5-band rule to exact-equality ties (identical except when two
+candidates differ by less than 1e-5 in float32), saving ~40% of the fold
+ops.
+
+Layout requirements (arranged by hmm/batch.pack_pairs via H_pad choice):
+  - S_half = H_pad + 2 is a multiple of 128 (lane-aligned state axis);
+  - pairs are tiled TB at a time on the sublane axis.
+
+Per-step structure (VPU elementwise + lane rolls; no MXU work):
+  obs -> W = A + obs -> numT shifted candidate folds (costs hoisted out
+  of the loop) -> boundary-state folds -> live-mask -> bt DMA out.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .reference import EPS, TIE
+
+NEGBIG = -1.0e30
+TB = 128  # pairs per tile
+
+
+def _fold_exact(dest_v, dest_i, cand_v, cand_i):
+    take = cand_v > dest_v + EPS
+    tie = (cand_v >= dest_v) & (cand_v <= dest_v + TIE) & (dest_i > cand_i)
+    take = take | tie
+    return jnp.where(take, cand_v, dest_v), jnp.where(take, cand_i, dest_i)
+
+
+def _fold_fast(dest_v, dest_i, cand_v, cand_i):
+    take = (cand_v > dest_v) | ((cand_v == dest_v) & (dest_i > cand_i))
+    return jnp.where(take, cand_v, dest_v), jnp.where(take, cand_i, dest_i)
+
+
+def _roll_right(x, y, fill):
+    """out[l] = x[l-y] for l>=y else fill (lane axis)."""
+    lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    r = pltpu.roll(x, y, 1)
+    return jnp.where(lane >= y, r, fill)
+
+
+def _roll_left(x, y):
+    """out[l] = x[l+y] (lane axis); wrapped tail returned as-is (callers
+    mask it)."""
+    SP = x.shape[-1]
+    return pltpu.roll(x, SP - y, 1)
+
+
+def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties):
+    SP = H_pad + 2          # S_half, lane-aligned
+    RO = H_pad + 1
+    S2 = 2 * SP
+    (logpLOgLO, logpFirstgLO, logpInsgIns, logpNoInsgIns,
+     logpNoInsgNoIns) = scal
+    NCODE = ord("N")
+    _fold = _fold_exact if exact_ties else _fold_fast
+
+    def kernel(hap_len_ref, read_len_ref, b_mid_ref, read_codes_ref,
+               hap_codes_ref, eq_ref, uq_ref, lpe_ref, lpn_ref,
+               amid_ref, bmid_ref, btf_hbm, btb_hbm,
+               an_ref, ai_ref, hapat_ref, btbuf_ref,
+               rcs_ref, eqs_ref, uqs_ref, dma_sems):
+        i = pl.program_id(0)
+        lane = lax.broadcasted_iota(jnp.int32, (TB, SP), 1)
+        hl = hap_len_ref[:][:, 0:1]               # (TB, 1)
+        bmid = b_mid_ref[:][:, 0:1]
+        rlen = read_len_ref[:][:, 0:1]
+        lpe = lpe_ref[:]
+        lpn = lpn_ref[:]
+        maskH = (lane == hl).astype(lpe.dtype)    # one-hot at Hh
+        lpeH = jnp.sum(lpe * maskH, axis=1, keepdims=True)
+        live = (lane <= hl) | (lane == RO)
+        is0 = lane == 0
+        isRO = lane == RO
+        # hap base code at lane x is hap_codes[x-1]
+        hapat_ref[:] = _roll_right(hap_codes_ref[:], 1, jnp.int32(NCODE))
+        on_hap = (lane >= 1) & (lane <= hl)
+
+        # ---- loop-invariant candidate costs / indices (hoisted) ----
+        # Dec: lp(y) dest-indexed; the (src + lp) + lpn association matches
+        # _dp_xla exactly (float order matters for bit-parity)
+        dec_lp = []
+        dec_srci = []
+        for y in range(1, numT):
+            dec_lp.append(lpn if y == 1 else (lpe + (y - 1) * logpInsgIns))
+            dec_srci.append(jnp.maximum(lane - y, 0))
+        # Inc: cost src-indexed with per-hap RO clamping
+        lpeROv = lpe[:, RO:RO + 1]
+        lpnROv = lpn[:, RO:RO + 1]
+        inc_cost = []
+        inc_srci = []
+        for y in range(1, numT):
+            clamped = (lane + y) <= hl
+            s_lpe = jnp.where(clamped, _roll_left(lpe, y), lpeROv)
+            s_lpn = jnp.where(clamped, _roll_left(lpn, y), lpnROv)
+            lp = s_lpn if y == 1 else (s_lpe + (y - 1) * logpInsgIns)
+            inc_cost.append(lp + s_lpn)
+            inc_srci.append(jnp.where(clamped, lane + y, RO))
+        clamped1 = (lane + 1) <= hl
+        inc_src_i1 = jnp.where(clamped1, lane + 1, RO)
+        # insertion-open cost lpe[x+1] (0 at RO)
+        lpe_x1 = jnp.where(isRO, 0.0, _roll_left(lpe, 1))
+
+        amid_ref[:] = jnp.zeros((TB, S2), amid_ref.dtype)
+        bmid_ref[:] = jnp.zeros((TB, S2), bmid_ref.dtype)
+        an_ref[:] = jnp.zeros((TB, SP), an_ref.dtype)
+        ai_ref[:] = jnp.zeros((TB, SP), ai_ref.dtype)
+
+        # rolling copies of the per-base arrays: column 0 always holds the
+        # current read base (Mosaic cannot load at a dynamic lane index, so
+        # we rotate one lane per step instead)
+        def obs_current():
+            rb = rcs_ref[:][:, 0:1]
+            e = eqs_ref[:][:, 0:1]
+            u = uqs_ref[:][:, 0:1]
+            mism = (hapat_ref[:] != rb) & (hapat_ref[:] != NCODE)
+            obs_n = jnp.where(on_hap & mism, u, e)
+            return obs_n, e  # obs_i == e broadcast
+
+        def advance(shift):
+            rcs_ref[:] = pltpu.roll(rcs_ref[:], shift, 1)
+            eqs_ref[:] = pltpu.roll(eqs_ref[:], shift, 1)
+            uqs_ref[:] = pltpu.roll(uqs_ref[:], shift, 1)
+
+        num_tiles = pl.num_programs(0)
+
+        def bt_write(hbm_ref, b_index, noins_i, ins_i):
+            # hbm_ref is 2-D (L*B, S2); row block = b_index*B + tile*TB
+            btbuf_ref[:, :SP] = noins_i
+            btbuf_ref[:, SP:] = ins_i
+            row = (b_index * num_tiles + i) * TB
+            dma = pltpu.make_async_copy(
+                btbuf_ref,
+                hbm_ref.at[pl.ds(row, TB), :],
+                dma_sems.at[0])
+            dma.start()
+            dma.wait()
+
+        # ---------------- forward (Dec) pass ----------------
+        rcs_ref[:] = read_codes_ref[:]
+        eqs_ref[:] = eq_ref[:]
+        uqs_ref[:] = uq_ref[:]
+
+        def fwd_body(b, _):
+            obs_n, e = obs_current()  # read base b-1
+            Wn = an_ref[:] + obs_n
+            Wi = ai_ref[:] + e
+            Wn0 = Wn[:, 0:1]
+            WnRO = Wn[:, RO:RO + 1]
+            WiRO = Wi[:, RO:RO + 1]
+            WnH = jnp.sum(Wn * maskH, axis=1, keepdims=True)
+            WiH = jnp.sum(Wi * maskH, axis=1, keepdims=True)
+
+            # dest RO fold (4 candidates in reference order)
+            dRO_v = WnRO + (logpLOgLO + logpNoInsgNoIns)
+            dRO_i = jnp.full((TB, 1), RO, jnp.int32)
+            dRO_v, dRO_i = _fold(dRO_v, dRO_i,
+                                 WnH + (logpFirstgLO + logpNoInsgNoIns), hl)
+
+            # dest x deletion/match candidates
+            dx_v = jnp.full((TB, SP), NEGBIG, Wn.dtype)
+            dx_i = lane
+            for y in range(1, numT):
+                src = _roll_right(Wn, y, Wn0)
+                dx_v, dx_i = _fold(dx_v, dx_i, src + dec_lp[y - 1] + lpn,
+                                   dec_srci[y - 1])
+
+            d0_v = Wn0 + logpNoInsgNoIns
+
+            dRO_v, dRO_i = _fold(dRO_v, dRO_i,
+                                 WiRO + logpLOgLO + lpeROv,
+                                 jnp.full((TB, 1), SP + RO, jnp.int32))
+            dRO_v, dRO_i = _fold(dRO_v, dRO_i,
+                                 WiH + logpFirstgLO + lpeH, SP + hl)
+
+            # insertion exit onto hap: src ins(x-1)
+            srcWi = _roll_right(Wi, 1, Wi[:, 0:1])
+            dx_v, dx_i = _fold(dx_v, dx_i, srcWi + lpe,
+                               SP + jnp.maximum(lane - 1, 0))
+
+            # insertion lanes: extension assign then open fold (x >= 1)
+            di_v = Wi + logpInsgIns
+            di_i = SP + lane
+            open_ok = lane >= 1
+            di_v, di_i = _fold(di_v, di_i,
+                               jnp.where(open_ok, Wn + logpNoInsgIns, NEGBIG),
+                               jnp.where(open_ok, lane, di_i))
+
+            noins_v = jnp.where(is0, d0_v, jnp.where(isRO, dRO_v, dx_v))
+            noins_i = jnp.where(is0, 0, jnp.where(isRO, dRO_i, dx_i))
+            noins_v = jnp.where(live, noins_v, NEGBIG)
+            noins_i = jnp.where(live, noins_i, lane)
+            ins_v = jnp.where(live, di_v, NEGBIG)
+            ins_i = jnp.where(live, di_i, SP + lane)
+
+            an_ref[:] = noins_v
+            ai_ref[:] = ins_v
+
+            sel = (bmid == b)
+            amid_ref[:, :SP] = jnp.where(sel, noins_v, amid_ref[:, :SP])
+            amid_ref[:, SP:] = jnp.where(sel, ins_v, amid_ref[:, SP:])
+
+            bt_write(btf_hbm, b - 1, noins_i, ins_i)
+            advance(L_pad - 1)  # rotate left by one lane
+            return 0
+
+        lax.fori_loop(1, L_act, fwd_body, 0)
+
+        # ---------------- backward (Inc) pass ----------------
+        an_ref[:] = jnp.zeros((TB, SP), an_ref.dtype)
+        ai_ref[:] = jnp.zeros((TB, SP), ai_ref.dtype)
+        # column 0 must hold read base L_act-1
+        shift0 = (L_pad - (L_act - 1)) % L_pad
+        rcs_ref[:] = pltpu.roll(read_codes_ref[:], shift0, 1)
+        eqs_ref[:] = pltpu.roll(eq_ref[:], shift0, 1)
+        uqs_ref[:] = pltpu.roll(uq_ref[:], shift0, 1)
+        # beta[L_act-1] = 0 is implied by the padded-slice rule (all reads
+        # have read_len <= L_act)
+
+        def bwd_body(t, _):
+            b = L_act - 1 - t
+            obs_n, e = obs_current()  # read base b
+            Wn = an_ref[:] + obs_n
+            Wi = ai_ref[:] + e
+            WnRO = Wn[:, RO:RO + 1]
+            Wn0 = Wn[:, 0:1]
+            Wn1 = Wn[:, 1:2]
+
+            # dest 0 fold
+            d0_v = Wn0 + (logpLOgLO + logpNoInsgNoIns)
+            d0_i = jnp.zeros((TB, 1), jnp.int32)
+            d0_v, d0_i = _fold(d0_v, d0_i,
+                               Wn1 + (logpFirstgLO + logpNoInsgNoIns),
+                               jnp.ones((TB, 1), jnp.int32))
+
+            dx_v = jnp.full((TB, SP), NEGBIG, Wn.dtype)
+            dx_i = lane
+            for y in range(1, numT):
+                clamped = (lane + y) <= hl
+                srcW = jnp.where(clamped, _roll_left(Wn, y), WnRO)
+                dx_v, dx_i = _fold(dx_v, dx_i, inc_cost[y - 1] + srcW,
+                                   inc_srci[y - 1])
+
+            dRO_v = WnRO + lpnROv
+            dRO_i = jnp.full((TB, 1), RO, jnp.int32)
+
+            # insertion open: dest x <- src ins x, cost lpe[x+1] (0 at RO)
+            cand = Wi + lpe_x1
+            dx_v, dx_i = _fold(dx_v, dx_i, cand, SP + lane)
+            d0_v, d0_i = _fold(d0_v, d0_i, cand[:, 0:1],
+                               jnp.full((TB, 1), SP, jnp.int32))
+            dRO_v, dRO_i = _fold(dRO_v, dRO_i, cand[:, RO:RO + 1],
+                                 jnp.full((TB, 1), SP + RO, jnp.int32))
+
+            # insertion lanes: extension assign, then one exit/open fold.
+            # Lane 0's candidate is (Wn[0] + logpNoInsgIns, idx 0)
+            # (FBMaxErr::passMessageTwoInc step 6 first line); lanes >= 1
+            # exit to noins clamp(x+1).  A single lane-selected fold keeps
+            # Mosaic happy (a where-merge of fold-output slices crashes its
+            # layout inference).
+            di_v = Wi + logpInsgIns
+            di_i = SP + lane
+            srcW1 = jnp.where(clamped1, _roll_left(Wn, 1), WnRO)
+            cand_v = jnp.where(is0, Wn0, srcW1) + logpNoInsgIns
+            cand_i = jnp.where(is0, 0, inc_src_i1)
+            di_v, di_i = _fold(di_v, di_i, cand_v, cand_i)
+
+            noins_v = jnp.where(is0, d0_v, jnp.where(isRO, dRO_v, dx_v))
+            noins_i = jnp.where(is0, d0_i, jnp.where(isRO, dRO_i, dx_i))
+            noins_v = jnp.where(live, noins_v, NEGBIG)
+            noins_i = jnp.where(live, noins_i, lane)
+            ins_v = jnp.where(live, di_v, NEGBIG)
+            ins_i = jnp.where(live, di_i, SP + lane)
+
+            # padded-slice rule: beta[b-1] = 0 when b-1 >= read_len-1
+            pad = (b - 1) >= (rlen - 1)
+            noins_v = jnp.where(pad, 0.0, noins_v)
+            ins_v = jnp.where(pad, 0.0, ins_v)
+            noins_i = jnp.where(pad, lane, noins_i)
+            ins_i = jnp.where(pad, SP + lane, ins_i)
+
+            an_ref[:] = noins_v
+            ai_ref[:] = ins_v
+            sel = (bmid == (b - 1))
+            bmid_ref[:, :SP] = jnp.where(sel, noins_v, bmid_ref[:, :SP])
+            bmid_ref[:, SP:] = jnp.where(sel, ins_v, bmid_ref[:, SP:])
+
+            bt_write(btb_hbm, b - 1, noins_i, ins_i)
+            advance(1)  # rotate right by one lane
+            return 0
+
+        lax.fori_loop(0, L_act - 1, bwd_body, 0)
+
+    return kernel
+
+
+def dp_pallas(H_pad, L_pad, numT,
+              hap_len, read_len, b_mid, read_codes, hap_codes,
+              eq, uq, lpe, lpn, lpeV, lpnV, scalars, interpret=False,
+              exact_ties=False):
+    """Pallas implementation of the DP passes; same contract as _dp_xla
+    (lpeV/lpnV are recomputed in-kernel via lane rolls and ignored).
+
+    Backpointer slices for b >= max(read_len) are left uninitialized in
+    HBM; _finish only consumes slices below each pair's read length."""
+    del lpeV, lpnV
+    B = hap_len.shape[0]
+    SP = H_pad + 2
+    if SP % 128 != 0:
+        raise ValueError("pallas DP requires S_half % 128 == 0 "
+                         "(choose H_pad = 128k - 2 in pack_pairs)")
+    S2 = 2 * SP
+    dtype = eq.dtype
+    L_act = int(np.asarray(read_len).max()) if not isinstance(read_len, jax.core.Tracer) else L_pad
+    L_act = max(2, min(int(L_act), L_pad))
+
+    Bp = ((B + TB - 1) // TB) * TB
+    if Bp != B:
+        padn = Bp - B
+        def padrow(a):
+            return jnp.concatenate(
+                [a, jnp.tile(a[-1:], (padn,) + (1,) * (a.ndim - 1))], axis=0)
+        hap_len = padrow(hap_len)
+        read_len = padrow(read_len)
+        b_mid = padrow(b_mid)
+        read_codes = padrow(read_codes)
+        hap_codes = padrow(hap_codes)
+        eq = padrow(eq)
+        uq = padrow(uq)
+        lpe = padrow(lpe)
+        lpn = padrow(lpn)
+
+    num_tiles = Bp // TB
+    scal = tuple(float(x) for x in np.asarray(scalars))
+    kernel = _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties)
+
+    def im(i):
+        return (i, 0)
+
+    in_specs = [
+        pl.BlockSpec((TB, 128), im, memory_space=pltpu.VMEM),  # hap_len
+        pl.BlockSpec((TB, 128), im, memory_space=pltpu.VMEM),  # read_len
+        pl.BlockSpec((TB, 128), im, memory_space=pltpu.VMEM),  # b_mid
+        pl.BlockSpec((TB, L_pad), im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, SP), im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, L_pad), im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, L_pad), im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, SP), im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, SP), im, memory_space=pltpu.VMEM),
+    ]
+    out_shape = (
+        jax.ShapeDtypeStruct((Bp, S2), dtype),                    # amid
+        jax.ShapeDtypeStruct((Bp, S2), dtype),                    # bmid
+        jax.ShapeDtypeStruct(((L_pad - 1) * Bp, S2), jnp.int32),  # btf
+        jax.ShapeDtypeStruct(((L_pad - 1) * Bp, S2), jnp.int32),  # btb
+    )
+    out_specs = (
+        pl.BlockSpec((TB, S2), im, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TB, S2), im, memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    )
+    scratch_shapes = [
+        pltpu.VMEM((TB, SP), dtype),       # an
+        pltpu.VMEM((TB, SP), dtype),       # ai
+        pltpu.VMEM((TB, SP), jnp.int32),   # hap base codes at lane
+        pltpu.VMEM((TB, S2), jnp.int32),   # bt staging
+        pltpu.VMEM((TB, L_pad), jnp.int32),  # rolling read codes
+        pltpu.VMEM((TB, L_pad), dtype),      # rolling eq
+        pltpu.VMEM((TB, L_pad), dtype),      # rolling uq
+        pltpu.SemaphoreType.DMA((1,)),
+    ]
+    i32 = lambda a: a.astype(jnp.int32)
+    wide = lambda a: jnp.broadcast_to(i32(a)[:, None], (Bp, 128))
+    amid, bmid_, btf, btb = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(wide(hap_len), wide(read_len), wide(b_mid),
+      i32(read_codes), i32(hap_codes), eq, uq, lpe, lpn)
+
+    btf = btf.reshape(L_pad - 1, Bp, S2)
+    btb = btb.reshape(L_pad - 1, Bp, S2)
+    if Bp != B:
+        amid = amid[:B]
+        bmid_ = bmid_[:B]
+        btf = btf[:, :B]
+        btb = btb[:, :B]
+    return amid, bmid_, btf, btb
