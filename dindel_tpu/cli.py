@@ -62,8 +62,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--maxLengthIndel", type=int, default=5)
     ap.add_argument("--libFile")
     ap.add_argument("--hmmBackend", default="jax",
-                    choices=["jax", "oracle"],
-                    help="pair-HMM backend (jax = batched device kernel)")
+                    choices=["jax", "pallas", "oracle"],
+                    help="pair-HMM backend: jax (batched XLA kernel), "
+                         "pallas (fused TPU kernel), oracle (float64 NumPy)")
     # pipeline subcommand options
     ap.add_argument("--inputVarFile")
     ap.add_argument("--windowFilePrefix")
@@ -176,6 +177,18 @@ def main(argv=None) -> int:
         merge_output_diploid(files, args.outputFile, args.ref,
                              sample_id=args.sampleID, max_hp_len=args.maxHPLen,
                              filter_qual=args.filterQual)
+        return 0
+
+    if analysis == "convertVCFToDindel":
+        from .pipeline.genotype_likelihoods import convert_vcf_to_dindel
+        convert_vcf_to_dindel(args.inputVarFile, args.outputFile, args.ref)
+        return 0
+
+    if analysis == "makeGenotypeLikelihoodFilePooled":
+        from .pipeline.genotype_likelihoods import make_genotype_likelihood_file
+        glfs = [l.split()[0] for l in open(args.inputFiles) if l.strip()]
+        bams = [l.split()[0] for l in open(args.bamFiles) if l.strip()]
+        make_genotype_likelihood_file(glfs, args.outputFile, args.varFile, bams)
         return 0
 
     if analysis == "mergeOutputPooled":

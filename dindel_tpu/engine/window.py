@@ -28,6 +28,19 @@ from .hapgen import HapGenError, HaplotypeDistribution, HDIterator
 from .reads import ReadBuffer, WindowError, get_reads
 
 
+def _logadd(a: float, b: float) -> float:
+    from ..utils import add_logs
+    return add_logs(a, b)
+
+
+def _safe_cigar(hap, read, ml, ref_seq_pos):
+    from .realign_bam import CigarError, get_cigar
+    try:
+        return get_cigar(hap, read, ml, ref_seq_pos)
+    except CigarError:
+        return None
+
+
 class WindowEngine:
     def __init__(self, bam_paths: List[str], fasta_path: str,
                  params: Parameters, libraries: Optional[LibraryCollection] = None,
@@ -39,9 +52,14 @@ class WindowEngine:
         self.buf = ReadBuffer()
         self.hmm_backend = hmm_backend
         self._batch_hmm = None
-        if hmm_backend == "jax":
+        if hmm_backend in ("jax", "pallas"):
+            import numpy as _np
             from ..hmm.batch import BatchedPairHMM
-            self._batch_hmm = BatchedPairHMM(params.obs_params)
+            if hmm_backend == "pallas":
+                self._batch_hmm = BatchedPairHMM(
+                    params.obs_params, dtype=_np.float32, dp_impl="pallas")
+            else:
+                self._batch_hmm = BatchedPairHMM(params.obs_params)
 
     # ------------------------------------------------------------------
     def get_ref_seq(self, lpos: int, rpos: int) -> str:
@@ -181,7 +199,73 @@ class WindowEngine:
                                         p, filtered, var_coverage, "dip"))
             except _WindowThrow as e:
                 raise WindowError(str(e))
+            if p.output_realigned_bam and p.slower:
+                self._write_realigned_bam(index, haps, reads, liks, on_hap,
+                                          left_pos, right_pos, candidates,
+                                          diploid=True)
+        if p.estimate_hap_freqs and p.output_realigned_bam and p.slower:
+            liks, on_hap = self.compute_likelihoods(haps, reads, left_pos)
+            self._write_realigned_bam(index, haps, reads, liks, on_hap,
+                                      left_pos, right_pos, candidates,
+                                      diploid=False)
         return rows
+
+    # ------------------------------------------------------------------
+    def _write_realigned_bam(self, index, haps, reads, liks, on_hap,
+                             left_pos, right_pos, candidates, diploid):
+        """Realigned-BAM output (DInDel.cpp:498-534, 589-633): MAP
+        haplotype per read -> composed CIGAR -> per-window BAM (+ optional
+        post-process hook)."""
+        import math as _math
+        import subprocess
+        from .realign_bam import get_cigar, write_realigned_bam
+        from ..infer.diploid import get_haplotype_prior
+        p = self.params
+        nh = len(haps)
+        nr = len(reads)
+        ref_seq_pos = left_pos
+        cigars = [None] * nr
+        if diploid:
+            # MAP pair with priors (computePairLikelihoods + getMaxHap)
+            best = None
+            for h1 in range(nh):
+                for h2 in range(h1, nh):
+                    ll = get_haplotype_prior(haps[h1], haps[h2], left_pos,
+                                             candidates, p)
+                    for r in range(nr):
+                        ll += _math.log(0.5) + _logadd(liks[h1][r].ll,
+                                                      liks[h2][r].ll)
+                    if best is None or ll > best[0]:
+                        best = (ll, h1, h2)
+            _, hp1, hp2 = best
+            for r in range(nr):
+                if abs(liks[hp1][r].ll - liks[hp2][r].ll) < 1e-8:
+                    hmax = hp1 if haps[hp1].count_indels() < haps[hp2].count_indels() else hp2
+                else:
+                    hmax = hp1 if liks[hp1][r].ll > liks[hp2][r].ll else hp2
+                cigars[r] = _safe_cigar(haps[hmax], reads[r], liks[hmax][r],
+                                        ref_seq_pos)
+        else:
+            for r in range(nr):
+                if on_hap[r]:
+                    llmax = None
+                    hidx = 0
+                    for h in range(nh):
+                        if llmax is None or liks[h][r].ll > llmax:
+                            llmax = liks[h][r].ll
+                            hidx = h
+                    cigars[r] = _safe_cigar(haps[hidx], reads[r],
+                                            liks[hidx][r], ref_seq_pos)
+        left_ok = left_pos + p.min_read_overlap
+        right_ok = right_pos - p.min_read_overlap
+        name = (f"{p.file_name}.ra.{index}_{p.tid}_{left_ok}_{right_ok}.bam")
+        write_realigned_bam(name, cigars, reads, on_hap,
+                            self.bams[0].header)
+        if p.process_realigned_bam != "no":
+            cmd = [p.process_realigned_bam, name,
+                   p.file_name + "_realigned", p.tid,
+                   str(left_ok), str(right_ok)]
+            subprocess.run(cmd, check=False)
 
     # ------------------------------------------------------------------
     def detect_indels(self, var_file: str, glf_path: Optional[str] = None):

@@ -471,7 +471,17 @@ class BatchedPairHMM:
         nh, nr = len(haps), len(reads)
         if nh == 0 or nr == 0:
             return [[]]
-        pk = pack_pairs(haps, reads, hap_start, p, self.dtype, self.bucket)
+        if self.dp_impl == "pallas":
+            # lane-aligned state axis (S_half % 128 == 0) for the fused
+            # TPU kernel
+            H_max = max(h.size() for h in haps)
+            H_pad_c = _round_up(H_max + 2, 128) - 2
+            L_max = max(r.size() for r in reads)
+            L_pad_c = _round_up(max(L_max, 2), 128)
+            pk = pack_pairs(haps, reads, hap_start, p, self.dtype,
+                            H_pad=H_pad_c, L_pad=L_pad_c)
+        else:
+            pk = pack_pairs(haps, reads, hap_start, p, self.dtype, self.bucket)
         H_pad = pk["H_pad"]
 
         (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state) = run_packed(

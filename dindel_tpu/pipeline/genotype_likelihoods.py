@@ -1,0 +1,193 @@
+"""Per-sample genotype-likelihood table for pooled calls + VCF->candidate
+conversion.
+
+Ports python/makeGenotypeLikelihoodFilePooled.py (join pooled GLF rows
+with the call VCF into 'tid pos var 0/0 0/1 1/1 bam' lines) and
+python/convertVCFToDindel.py with utils/Variant.py Variant4 (VCF ref/alt
+-> dindel variant string + left-shifted offset)."""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, List, Optional, Tuple
+
+from ..io.fasta import FastaFile
+from ..out.glf import GLFReader
+
+
+class Variant4:
+    """utils/Variant.py Variant4 (:46-124): dindel-style variant from a
+    VCF ref/alt pair, with the left-shift offset."""
+
+    def __init__(self, ref: str, alt: str):
+        dlen = len(ref) - len(alt)
+        self.offset = 0
+        if dlen == 0:
+            nm = 0
+            refnuc = altnuc = ""
+            for idx, (a, b) in enumerate(zip(ref, alt)):
+                if a != b:
+                    nm += 1
+                    self.offset = idx
+                    refnuc, altnuc = a, b
+            if nm == 0:
+                self.type = "ref"
+                self.length = 0
+                self.seq = ""
+                self.str = "REF"
+            elif nm == 1:
+                self.type = "snp"
+                self.length = 1
+                self.seq = altnuc
+                self.str = f"{refnuc}=>{altnuc}"
+            else:
+                raise ValueError("MultiSNP")
+        else:
+            if dlen < 0:
+                self.type = "ins"
+                _alt, _ref = alt, ref
+                self.str = "+"
+            else:
+                self.type = "del"
+                _alt, _ref = ref, alt
+                self.str = "-"
+            numrb = len(_ref)
+            left_match = 0
+            right_match = 0
+            for x in range(0, len(_ref) + 1):
+                if _ref[:x] == _alt[:x]:
+                    left_match = x
+            for x in range(1, len(_ref) + 1):
+                if _ref[-x:] == _alt[-x:]:
+                    right_match = x
+            if left_match == 0 or left_match + right_match < numrb:
+                raise ValueError("Don't think this is a proper VCF4 insertion")
+            left_end = 1
+            if numrb - left_end > right_match:
+                left_end = left_match
+            right_start = numrb - left_end
+            if right_start == 0:
+                self.seq = _alt[left_end:]
+            else:
+                self.seq = _alt[left_end:-right_start]
+            self.offset = left_end
+            self.str += self.seq
+            self.length = len(self.seq)
+
+
+def convert_vcf_to_dindel(vcf_path: str, output_path: str, ref_file: str) -> int:
+    """python/convertVCFToDindel.py (:9-46): VCF records -> candidate
+    lines 'chrom newpos var'. Verifies REF against the FASTA."""
+    fa = FastaFile(ref_file)
+    n = 0
+    with open(vcf_path) as fin, open(output_path, "w") as fout:
+        for line in fin:
+            if line.startswith("#"):
+                continue
+            toks = line.rstrip("\n").split("\t")
+            if len(toks) < 5:
+                continue
+            chrom, pos, _id, ref, alt = toks[:5]
+            pos = int(pos)
+            seq = fa.get0(chrom, pos - 1, len(ref))
+            if seq.upper() != ref.upper():
+                raise ValueError(
+                    f"Reference sequence mismatch at {chrom}:{pos}: "
+                    f"{seq} != {ref}")
+            var = Variant4(ref=ref, alt=alt)
+            newpos = pos + var.offset - 1
+            fout.write(f"{chrom} {newpos} {var.str}\n")
+            n += 1
+    fa.close()
+    return n
+
+
+def _empty_buffer(index, buffer, calls, out, bamfiles):
+    """makeGenotypeLikelihoodFilePooled.emptyBuffer (:49-107)."""
+    num_bams = len(bamfiles)
+    glfs = buffer[index]
+    dat = glfs[0]
+    if dat["nref_all"] == "NA":
+        del buffer[index]
+        return "na-error"
+    varstring = (dat["tid"], dat["realigned_position"], dat["nref_all"])
+    try:
+        calls[dat["tid"]][int(dat["realigned_position"])][dat["nref_all"]]
+    except KeyError:
+        del buffer[index]
+        return "notcalled"
+    if len(glfs) != num_bams:
+        sys.stderr.write(f"Skipping index {index}\n")
+        del buffer[index]
+        return "skipped"
+    output = []
+    for dat in glfs:
+        tvs = (dat["tid"], dat["realigned_position"], dat["nref_all"])
+        if tvs != varstring:
+            return "skipped-inconsistent-glf-lines"
+        idx = int(dat["indidx"])
+        gen_to_lik = {}
+        for lik in dat["glf"].split(";"):
+            ld = lik.split(":")
+            gen_to_lik[ld[0]] = ld[1]
+        output.append(
+            f"{dat['tid']} {int(dat['realigned_position'])} {dat['nref_all']} "
+            f"{gen_to_lik['0/0']} {gen_to_lik['0/1']} {gen_to_lik['1/1']} "
+            f"{bamfiles[idx]}\n")
+    for line in output:
+        out.write(line)
+    del buffer[index]
+    return "a-ok"
+
+
+def get_calls(call_file: str) -> Dict[str, Dict[int, Dict[str, dict]]]:
+    """makeGenotypeLikelihoodFilePooled.getCalls (:10-46)."""
+    calls: Dict[str, Dict[int, Dict[str, dict]]] = {}
+    with open(call_file) as f:
+        header = None
+        for line in f:
+            if line.startswith("##"):
+                continue
+            if line.startswith("#"):
+                header = line[1:].rstrip("\n").split("\t")
+                continue
+            toks = line.rstrip("\n").split("\t")
+            dat = dict(zip(header, toks))
+            if dat["FILTER"] == "PASS" or (dat["FILTER"] == "q20"
+                                           and float(dat["QUAL"]) >= 10):
+                chrom = dat["CHROM"]
+                pos = int(dat["POS"])
+                if "," in dat["ALT"]:
+                    raise ValueError("Cannot deal with these entries")
+                var = Variant4(ref=dat["REF"], alt=dat["ALT"])
+                newpos = pos + var.offset - 1
+                calls.setdefault(chrom, {}).setdefault(newpos, {})
+                if var.str in calls[chrom][newpos]:
+                    raise ValueError("Multiple same variants?")
+                calls[chrom][newpos][var.str] = dat
+    return calls
+
+
+def make_genotype_likelihood_file(glf_files: List[str], output_file: str,
+                                  call_file: str, bam_files: List[str]) -> int:
+    """makeGenotypeLikelihoodFilePooled.makeGLF (:146-213)."""
+    calls = get_calls(call_file)
+    num_written = 0
+    with open(output_file, "w") as fout:
+        for glffile in glf_files:
+            buffer: Dict[str, List[dict]] = {}
+            curr_index = "-1"
+            for dat in GLFReader(glffile):
+                newindex = f"{dat['index']}.{dat['realigned_position']}.{dat['nref_all']}"
+                buffer.setdefault(newindex, []).append(dat)
+                if newindex != curr_index:
+                    if curr_index != "-1" and curr_index in buffer:
+                        if _empty_buffer(curr_index, buffer, calls, fout,
+                                         bam_files) == "a-ok":
+                            num_written += 1
+                    curr_index = newindex
+            if curr_index in buffer:
+                if _empty_buffer(curr_index, buffer, calls, fout,
+                                 bam_files) == "a-ok":
+                    num_written += 1
+    return num_written
