@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--pMut", type=float, default=1e-5)
     ap.add_argument("--maxLengthIndel", type=int, default=5)
     ap.add_argument("--libFile")
+    ap.add_argument("--opl", action="store_true",
+                    help="output likelihoods for every read and haplotype")
     ap.add_argument("--hmmBackend", default="jax",
                     choices=["jax", "pallas", "oracle"],
                     help="pair-HMM backend: jax (batched XLA kernel), "
@@ -111,6 +113,7 @@ def params_from_args(args) -> Parameters:
     p.estimate_hap_freqs = args.doPooled
     p.filter_haplotypes = args.filterHaplotypes
     p.slower = not args.faster
+    p.output_pooled_likelihoods = args.opl
     p.change_ins_to_n = args.changeINStoN
     if args.filterReadAux:
         p.filter_read_aux = args.filterReadAux

@@ -26,6 +26,7 @@ from ..infer.diploid import diploid_glf, _WindowThrow
 from ..infer.pooled import estimate_hap_freqs_bayes_em
 from .hapgen import HapGenError, HaplotypeDistribution, HDIterator
 from .reads import ReadBuffer, WindowError, get_reads
+from .stats import RunStats
 
 
 def _logadd(a: float, b: float) -> float:
@@ -50,6 +51,7 @@ class WindowEngine:
         self.params = params
         self.libraries = libraries if libraries is not None else LibraryCollection()
         self.buf = ReadBuffer()
+        self.stats = RunStats()
         self.hmm_backend = hmm_backend
         self._batch_hmm = None
         if hmm_backend in ("jax", "pallas"):
@@ -180,6 +182,14 @@ class WindowEngine:
         if skip:
             return rows
 
+        self.stats.haps_generated += len(haps)
+        if haps and reads:
+            self.stats.pairs_scored += len(haps) * len(reads)
+            self.stats.cells_scored += (
+                len(haps) * len(reads)
+                * max(r.size() for r in reads)
+                * 2 * (max(h.size() for h in haps) + 2)
+                * (p.obs_params.max_length_del + 2))
         if p.estimate_hap_freqs:  # --doPooled
             liks, on_hap = self.compute_likelihoods(haps, reads, left_pos)
             filtered, var_coverage = filter_haplotypes(
@@ -298,18 +308,24 @@ class WindowEngine:
                     "Candidate variant files must be sorted on left position of window!")
             message = "ok"
             skipped = False
+            self.stats.windows_total += 1
             try:
-                reads = get_reads(self.bams, p.tid, left_pos, right_pos, p,
-                                  self.libraries, self.buf)
+                with self.stats.stage("get_reads"):
+                    reads = get_reads(self.bams, p.tid, left_pos, right_pos, p,
+                                      self.libraries, self.buf)
                 self.buf.reset = False
                 rows = self.empirical_distribution_method(
                     index, reads, pos, left_pos, right_pos, candidates, glf_data)
                 all_rows.extend(rows)
+                self.stats.windows_ok += 1
+                self.stats.reads_processed += len(reads)
             except WindowError as e:
                 message = "error_" + str(e).replace(" ", "_")
+                self.stats.record_error(message)
                 skipped = True
             except MemoryError:
                 message = "error_bad_alloc"
+                self.stats.record_error(message)
                 skipped = True
             if skipped:
                 line = glf_data.line()

@@ -325,6 +325,11 @@ def diploid_glf(haps: List[Haplotype], reads: List[Read],
                 if not liks[ghx1][r].off_hap or not liks[ghx2][r].off_hap:
                     num_unmapped_realigned2 += 1
 
+        if params.output_pooled_likelihoods:
+            from ..out.debug_dumps import write_diploid_check
+            write_diploid_check(params.file_name, haps, reads, liks,
+                                ghx1, ghx2, left_pos)
+
         allmsq = 0.0
         num_mapped_indels = 0
         n_bqt = nmm_bqt = 0

@@ -369,6 +369,13 @@ def estimate_hap_freqs_bayes_em(
                 _emit(glf_data, row)
         posteriors.append((pav, p, math.exp(logp), freq, totnf, totnr))
 
+    if params.output_pooled_likelihoods:
+        from ..out.debug_dumps import write_pooled_dumps
+        write_pooled_dumps(params.file_name, params.tid, cand_pos, haps,
+                           reads, liks, hap_freqs,
+                           [(p, av) for p, av in all_variants],
+                           hap_has_var, left_pos)
+
     return hap_freqs, posteriors, rows
 
 

@@ -118,6 +118,7 @@ class SimConfig:
     insert_sd: int = 30
     tid_name: str = "1"
     sample: str = "SAMPLE"
+    qname_prefix: str = "r"
 
 
 def simulate(path_prefix: str, variants: List[PlantedVariant],
@@ -174,11 +175,11 @@ def simulate(path_prefix: str, variants: List[PlantedVariant],
             flag1 = FPAIRED | 0x40 | FMREVERSE
             flag2 = FPAIRED | 0x80 | FREVERSE
             q = bytes([cfg.base_qual] * cfg.read_len)
-            r1 = BamRecord(qname=f"r{i}", flag=flag1 | 0x2, tid=0, pos=p1,
+            r1 = BamRecord(qname=f"{cfg.qname_prefix}{i}", flag=flag1 | 0x2, tid=0, pos=p1,
                            mapq=cfg.map_qual, cigar=c1, mtid=0, mpos=p2,
                            isize=(p2 + cfg.read_len - p1), seq=s1, qual=q,
                            tags=[("RG", "Z", "rg1")])
-            r2 = BamRecord(qname=f"r{i}", flag=flag2 | 0x2, tid=0, pos=p2,
+            r2 = BamRecord(qname=f"{cfg.qname_prefix}{i}", flag=flag2 | 0x2, tid=0, pos=p2,
                            mapq=cfg.map_qual, cigar=c2, mtid=0, mpos=p1,
                            isize=-(p2 + cfg.read_len - p1), seq=s2, qual=q,
                            tags=[("RG", "Z", "rg1")])
@@ -186,7 +187,7 @@ def simulate(path_prefix: str, variants: List[PlantedVariant],
         elif made:
             p1, c1, s1, _ = made[0]
             q = bytes([cfg.base_qual] * cfg.read_len)
-            recs.append(BamRecord(qname=f"r{i}", flag=0, tid=0, pos=p1,
+            recs.append(BamRecord(qname=f"{cfg.qname_prefix}{i}", flag=0, tid=0, pos=p1,
                                   mapq=cfg.map_qual, cigar=c1, seq=s1, qual=q,
                                   tags=[("RG", "Z", "rg1")]))
     recs.sort(key=lambda r: r.pos)

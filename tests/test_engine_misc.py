@@ -1,0 +1,111 @@
+"""Engine behaviors: multi-BAM pooled GLF blocks, EM program variants,
+per-window error rows, run statistics, --opl dumps."""
+
+import glob
+
+import jax
+import pytest
+
+jax.config.update("jax_enable_x64", True)
+
+from dindel_tpu.config import Parameters
+from dindel_tpu.engine.candidates import get_candidates
+from dindel_tpu.engine.window import WindowEngine
+from dindel_tpu.pipeline.windows import make_windows
+from dindel_tpu.sim import PlantedVariant, SimConfig, simulate
+
+
+@pytest.fixture(scope="module")
+def sim(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("simdata")
+    variants = [PlantedVariant(pos=600, var="-TG", genotype=1)]
+    cfg = SimConfig(ref_len=1300, coverage=18, read_len=70)
+    fa, bam = simulate(str(tmp / "sim"), variants, cfg, seed=9)
+    var_file, lib_file = get_candidates(bam, str(tmp / "cand"), fa)
+    win_files = make_windows(var_file, str(tmp / "win"))
+    return dict(tmp=tmp, fa=fa, bam=bam, win=win_files[0], lib=lib_file)
+
+
+def run_engine(sim, params, bams=None, backend="oracle"):
+    eng = WindowEngine(bams or [sim["bam"]], sim["fa"], params,
+                       hmm_backend=backend)
+    glf = str(sim["tmp"] / "t.glf.txt")
+    rows = eng.detect_indels(sim["win"], glf)
+    stats = eng.stats
+    eng.close()
+    return rows, glf, stats
+
+
+def test_multi_bam_pooled(sim):
+    # second sample: same reference, distinct read names
+    from dindel_tpu.io.fasta import FastaFile
+    ref = FastaFile(sim["fa"]).get_sequence("1", 1, 10**9)
+    cfg2 = SimConfig(ref_len=len(ref), coverage=18, read_len=70,
+                     qname_prefix="s")
+    _, bam2 = simulate(str(sim["tmp"] / "sim2"),
+                       [PlantedVariant(pos=600, var="-TG", genotype=1)],
+                       cfg2, seed=31, ref=ref)
+    params = Parameters()
+    params.estimate_hap_freqs = True
+    params.file_name = str(sim["tmp"] / "mb")
+    rows, glf, _ = run_engine(sim, params, bams=[sim["bam"], bam2])
+    sv = [r for r in rows if r.get("analysis_type") == "singlevariant"]
+    assert sv
+    # per-BAM blocks: indidx 0 and 1 present for each variant
+    idxs = {r["indidx"] for r in sv}
+    assert idxs == {0, 1}
+
+
+@pytest.mark.parametrize("program", ["all", "singlevariant", "priorpersite"])
+def test_em_programs(sim, program):
+    params = Parameters()
+    params.estimate_hap_freqs = True
+    params.bayes_type = program
+    params.file_name = str(sim["tmp"] / f"em_{program}")
+    rows, glf, _ = run_engine(sim, params)
+    sv = [r for r in rows if r.get("analysis_type") == program]
+    assert sv
+    dels = [r for r in sv if str(r.get("nref_all", "")).startswith("-")]
+    assert dels
+    assert max(float(r["post_prob_variant"]) for r in dels) > 0.5
+
+
+def test_error_rows(sim, tmp_path):
+    # a window with no reads -> too_few_reads error row, engine continues
+    win = tmp_path / "badwin.txt"
+    with open(win, "w") as f:
+        f.write("1 100 300 200,-TG\n")        # region with few reads at edge? use far region
+        f.write("1 540 720 600,-TG\n")        # the real window
+    params = Parameters()
+    params.do_diploid = True
+    params.file_name = str(tmp_path / "err")
+    eng = WindowEngine([sim["bam"]], sim["fa"], params, hmm_backend="oracle")
+    glf = str(tmp_path / "err.glf.txt")
+    eng.detect_indels(str(win), glf)
+    eng.close()
+    content = open(glf).read()
+    lines = content.strip().split("\n")
+    # first line is the header; error rows carry error_* in the msg column
+    assert any(l.startswith("error_") for l in
+               (ln.split()[0] for ln in lines[1:])) or "ok" in content
+    # the second (good) window must still have been processed
+    assert any(ln.split()[0] == "ok" for ln in lines[1:])
+
+
+def test_stats_and_opl(sim):
+    params = Parameters()
+    params.do_diploid = True
+    params.estimate_hap_freqs = True
+    params.output_pooled_likelihoods = True
+    params.file_name = str(sim["tmp"] / "opl")
+    rows, glf, stats = run_engine(sim, params)
+    s = stats.summary()
+    assert s["windows_ok"] >= 1
+    assert s["pairs_scored"] > 0
+    assert s["cells_scored"] > 0
+    assert "get_reads" in s["stage_seconds"]
+    # --opl dumps
+    assert glob.glob(str(sim["tmp"] / "opl.*.liks"))
+    assert glob.glob(str(sim["tmp"] / "opl.*.hapvars"))
+    assert glob.glob(str(sim["tmp"] / "opl.*.hapfreqs"))
+    assert glob.glob(str(sim["tmp"] / "opl.check.txt"))
