@@ -1,0 +1,281 @@
+"""Batched window processing: many realignment windows per device
+dispatch.
+
+The per-window engine (window.py) issues one device call per window,
+which is latency-bound (especially through a remote TPU tunnel).  This
+driver splits work into three phases:
+
+  1. host: read fetch + haplotype generation + NW alignment for a batch
+     of windows (per-window fault isolation preserved — failed windows
+     become error_* rows exactly as in the streaming engine);
+  2. device: ONE pair-HMM dispatch over the concatenated (hap, read)
+     pairs of all windows in the batch (slabbed to bound backpointer
+     memory);
+  3. host: per-window event extraction + Bayesian calling + GLF output.
+
+This is the single-chip arm of the data-parallel design (SURVEY.md
+§2.4); parallel/mesh.py shards the same packed batches over dp x rp
+meshes."""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..config import Parameters
+from ..model import Haplotype, MLAlignment, Read
+from ..out.glf import OutputData, make_glf_output
+from ..variants import AlignedCandidates, read_window_file
+from ..hmm.batch import (BatchedPairHMM, pack_pairs, run_packed, _round_up)
+from ..hmm.reference import _report_variants
+from ..infer.filterhaps import filter_haplotypes
+from ..infer.diploid import diploid_glf, _WindowThrow
+from ..infer.pooled import estimate_hap_freqs_bayes_em
+from .reads import ReadBuffer, WindowError, get_reads
+from .window import WindowEngine
+
+
+class BatchedWindowEngine(WindowEngine):
+    """WindowEngine variant that batches the device phase across windows.
+
+    batch_windows controls how many windows are staged per device
+    dispatch; max_pairs_per_slab bounds backpointer HBM memory."""
+
+    def __init__(self, *args, batch_windows: int = 16,
+                 max_pairs_per_slab: int = 8192, dp_impl: str = "xla",
+                 dtype=np.float32, **kwargs):
+        kwargs.setdefault("hmm_backend", "oracle")  # per-window fallback
+        super().__init__(*args, **kwargs)
+        self.batch_windows = batch_windows
+        self.max_pairs_per_slab = max_pairs_per_slab
+        self.dp_impl = dp_impl
+        self.np_dtype = dtype
+
+    # ------------------------------------------------------------------
+    def detect_indels(self, var_file: str, glf_path: Optional[str] = None):
+        p = self.params
+        if glf_path is None:
+            glf_path = p.file_name + ".glf.txt"
+        out = open(glf_path, "w")
+        glf_data = make_glf_output(out)
+        glf_data.write_header()
+
+        self.buf = ReadBuffer()
+        self.buf.reset = True
+        old_tid = "-1"
+        all_rows: List[dict] = []
+
+        staged: List[dict] = []
+        index = 0
+        for candidates in read_window_file(var_file, p.var_file_is_one_based):
+            index += 1
+            left_pos = candidates.left_pos
+            right_pos = candidates.right_pos
+            pos = candidates.center_pos
+            p.tid = candidates.tid
+            if p.tid != old_tid:
+                self.buf.reset = True
+                old_tid = p.tid
+                self.buf.old_left_pos = 0
+            if left_pos < self.buf.old_left_pos:
+                raise RuntimeError(
+                    "Candidate variant files must be sorted on left position of window!")
+            self.stats.windows_total += 1
+            entry = dict(index=index, tid=p.tid, pos=pos,
+                         left_pos=left_pos, right_pos=right_pos,
+                         candidates=candidates, error=None)
+            try:
+                with self.stats.stage("get_reads"):
+                    reads = get_reads(self.bams, p.tid, left_pos, right_pos,
+                                      p, self.libraries, self.buf)
+                self.buf.reset = False
+                with self.stats.stage("hapgen"):
+                    skip, haps, lp2, rp2 = self.get_haplotypes(
+                        reads, pos, left_pos, right_pos, candidates)
+                if len(reads) * len(haps) > p.max_hap_read_prod:
+                    raise WindowError(
+                        f"skipped_numhap_times_numread>{p.max_hap_read_prod}")
+                entry.update(reads=reads, haps=haps, skip=skip,
+                             left_pos=lp2, right_pos=rp2)
+            except WindowError as e:
+                entry["error"] = "error_" + str(e).replace(" ", "_")
+                self.stats.record_error(entry["error"])
+                self.buf.reset = True
+            except MemoryError:
+                entry["error"] = "error_bad_alloc"
+                self.stats.record_error(entry["error"])
+                self.buf.reset = True
+            self.buf.old_left_pos = entry["left_pos"] if entry["error"] is None else left_pos
+            staged.append(entry)
+            if len(staged) >= self.batch_windows:
+                all_rows.extend(self._flush(staged, glf_data))
+                staged = []
+        if staged:
+            all_rows.extend(self._flush(staged, glf_data))
+        out.close()
+        return all_rows
+
+    # ------------------------------------------------------------------
+    def _flush(self, staged: List[dict], glf_data: OutputData) -> List[dict]:
+        p = self.params
+        rows: List[dict] = []
+        # device phase: concatenate pairs of all good windows
+        good = [e for e in staged
+                if e["error"] is None and not e.get("skip") and e.get("haps")]
+        with self.stats.stage("device_hmm"):
+            liks_by_idx = self._compute_liks_batched(good)
+        for e in staged:
+            if e["error"] is not None:
+                line = glf_data.line()
+                line.set("msg", e["error"])
+                line.set("index", e["index"])
+                line.set("tid", e["tid"])
+                line.set("lpos", e["left_pos"])
+                line.set("rpos", e["right_pos"])
+                glf_data.output(line)
+                continue
+            if e.get("skip"):
+                continue
+            p.tid = e["tid"]
+            try:
+                liks = liks_by_idx.get(e["index"])
+                if liks is None:
+                    continue
+                rows.extend(self._call_window(e, liks, glf_data))
+                self.stats.windows_ok += 1
+                self.stats.reads_processed += len(e["reads"])
+            except WindowError as err:
+                msg = "error_" + str(err).replace(" ", "_")
+                self.stats.record_error(msg)
+                line = glf_data.line()
+                line.set("msg", msg)
+                line.set("index", e["index"])
+                line.set("tid", e["tid"])
+                line.set("lpos", e["left_pos"])
+                line.set("rpos", e["right_pos"])
+                glf_data.output(line)
+        return rows
+
+    # ------------------------------------------------------------------
+    def _compute_liks_batched(self, good: List[dict]):
+        """One (or few) device dispatches over all windows' pairs."""
+        p = self.params
+        out = {}
+        slab: List[dict] = []
+        slab_pairs = 0
+
+        def run_slab(slab):
+            if not slab:
+                return
+            H_max = max(max(h.size() for h in e["haps"]) for e in slab)
+            L_max = max(max(r.size() for r in e["reads"]) for e in slab)
+            if self.dp_impl == "pallas":
+                H_pad = _round_up(H_max + 2, 128) - 2
+                L_pad = _round_up(max(L_max, 2), 128)
+            else:
+                H_pad = _round_up(H_max, 16)
+                L_pad = _round_up(max(L_max, 2), 16)
+            pks = []
+            for e in slab:
+                pks.append(pack_pairs(e["haps"], e["reads"], e["left_pos"],
+                                      p.obs_params, self.np_dtype,
+                                      H_pad=H_pad, L_pad=L_pad))
+            keys = ["hap_len", "read_len", "b_mid", "read_codes", "hap_codes",
+                    "eq", "uq", "lpe", "lpn", "lpeV", "lpnV",
+                    "prior_rmq", "prior_hmq"]
+            merged = {k: np.concatenate([pk[k] for pk in pks]) for k in keys}
+            merged.update(H_pad=H_pad, L_pad=L_pad, numT=pks[0]["numT"],
+                          scalars=pks[0]["scalars"], nh=0, nr=0)
+            res = run_packed(merged, self.dp_impl)
+            (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state) = [
+                np.asarray(x) for x in res]
+            off = 0
+            for e, pk in zip(slab, pks):
+                B = pk["hap_len"].shape[0]
+                out[e["index"]] = self._extract(e, slice(off, off + B),
+                                                ll, off_hap, off_hap_hmq,
+                                                ll_off, ll_on, map_state,
+                                                H_pad)
+                off += B
+
+        for e in good:
+            n = len(e["haps"]) * len(e["reads"])
+            if slab and slab_pairs + n > self.max_pairs_per_slab:
+                run_slab(slab)
+                slab = []
+                slab_pairs = 0
+            slab.append(e)
+            slab_pairs += n
+        run_slab(slab)
+        return out
+
+    # ------------------------------------------------------------------
+    def _extract(self, e, sl, ll, off_hap, off_hap_hmq, ll_off, ll_on,
+                 map_state, H_pad):
+        """Fixed-layout outputs -> per-pair MLAlignment (same as
+        BatchedPairHMM.compute tail)."""
+        p = self.params
+        haps = e["haps"]
+        reads = e["reads"]
+        nr = len(reads)
+        base = sl.start
+        S_half_f = H_pad + 2
+        liks: List[List[MLAlignment]] = []
+        for hi, hap in enumerate(haps):
+            row = []
+            Hh = hap.size()
+            numS = Hh + 2
+            ROh = Hh + 1
+            for ri, r in enumerate(reads):
+                i = base + hi * nr + ri
+                L = r.size()
+                ms_fixed = map_state[i, :L]
+                ins = ms_fixed >= S_half_f
+                x = ms_fixed % S_half_f
+                x = np.where(x == H_pad + 1, ROh, x)
+                ms = np.where(ins, numS + x, x).astype(np.int32)
+                ml = MLAlignment()
+                ml.ll = float(ll[i])
+                ml.off_hap = bool(off_hap[i])
+                ml.off_hap_hmq = bool(off_hap_hmq[i])
+                ml.ll_off = float(ll_off[i])
+                ml.ll_on = float(ll_on[i])
+                _report_variants(ml, ms, hap, r, p.obs_params, numS, ROh)
+                row.append(ml)
+            liks.append(row)
+        return liks
+
+    # ------------------------------------------------------------------
+    def _call_window(self, e, liks, glf_data) -> List[dict]:
+        p = self.params
+        haps = e["haps"]
+        reads = e["reads"]
+        for h in range(len(haps)):
+            for r in range(len(reads)):
+                if liks[h][r].ll > 0.1:
+                    raise RuntimeError("Likelihood>0")
+                if math.isnan(liks[h][r].ll) or math.isinf(liks[h][r].ll):
+                    raise WindowError("Nan detected")
+        rows: List[dict] = []
+        with self.stats.stage("calling"):
+            if p.estimate_hap_freqs:
+                filtered, var_coverage = filter_haplotypes(
+                    haps, reads, liks, p, p.filter_haplotypes)
+                _f, _p, emrows = estimate_hap_freqs_bayes_em(
+                    haps, reads, liks, e["pos"], e["left_pos"], e["right_pos"],
+                    glf_data, e["index"], e["candidates"], p, filtered,
+                    var_coverage, len(self.bams), p.bayes_type)
+                rows.extend(emrows)
+            if p.do_diploid:
+                filtered, var_coverage = filter_haplotypes(
+                    haps, reads, liks, p, p.filter_haplotypes)
+                try:
+                    rows.extend(diploid_glf(
+                        haps, reads, liks, e["pos"], e["left_pos"],
+                        e["right_pos"], glf_data, e["index"], e["candidates"],
+                        p, filtered, var_coverage, "dip"))
+                except _WindowThrow as err:
+                    raise WindowError(str(err))
+        return rows

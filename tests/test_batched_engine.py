@@ -1,0 +1,47 @@
+"""BatchedWindowEngine must produce the same GLF rows as the streaming
+WindowEngine (float64, CPU)."""
+
+import jax
+import numpy as np
+import pytest
+
+jax.config.update("jax_enable_x64", True)
+
+from dindel_tpu.config import Parameters
+from dindel_tpu.engine.candidates import get_candidates
+from dindel_tpu.engine.window import WindowEngine
+from dindel_tpu.engine.batched import BatchedWindowEngine
+from dindel_tpu.pipeline.windows import make_windows
+from dindel_tpu.sim import PlantedVariant, SimConfig, simulate
+
+
+def test_batched_equals_streaming(tmp_path):
+    variants = [PlantedVariant(pos=700, var="-ACG", genotype=1),
+                PlantedVariant(pos=1500, var="+TT", genotype=2),
+                PlantedVariant(pos=2300, var="-T", genotype=1)]
+    cfg = SimConfig(ref_len=3000, coverage=18, read_len=70)
+    fa, bam = simulate(str(tmp_path / "sim"), variants, cfg, seed=13)
+    var_file, _ = get_candidates(bam, str(tmp_path / "cand"), fa)
+    win_files = make_windows(var_file, str(tmp_path / "win"))
+
+    params = Parameters()
+    params.do_diploid = True
+    params.file_name = str(tmp_path / "a")
+    eng = WindowEngine([bam], fa, params, hmm_backend="jax")
+    glf_a = str(tmp_path / "a.glf.txt")
+    rows_a = eng.detect_indels(win_files[0], glf_a)
+    eng.close()
+
+    params2 = Parameters()
+    params2.do_diploid = True
+    params2.file_name = str(tmp_path / "b")
+    beng = BatchedWindowEngine([bam], fa, params2, batch_windows=8,
+                               dp_impl="xla", dtype=np.float64)
+    glf_b = str(tmp_path / "b.glf.txt")
+    rows_b = beng.detect_indels(win_files[0], glf_b)
+    assert beng.stats.windows_ok >= 2
+    beng.close()
+
+    a = open(glf_a).read()
+    b = open(glf_b).read()
+    assert a == b
