@@ -379,6 +379,42 @@ def estimate_hap_freqs_bayes_em(
     return hap_freqs, posteriors, rows
 
 
+def estimate_hap_freqs_ml(haps: List[Haplotype], reads: List[Read],
+                          liks: List[List[MLAlignment]],
+                          params: Parameters) -> List[float]:
+    """Plain maximum-likelihood EM over haplotype frequencies
+    (DetInDel::estimateHaplotypeFrequencies, DInDel.cpp:3665-3762; unused
+    by the reference's production paths but part of its API surface)."""
+    nh = len(haps)
+    nr = len(reads)
+    pi = [math.log(1.0 / nh)] * nh
+    e_old = NEG
+    it = 0
+    while True:
+        nk = [0.0] * nh
+        z = [[0.0] * nh for _ in range(nr)]
+        for r in range(nr):
+            lognorm = NEG
+            for h in range(nh):
+                z[r][h] = pi[h] + liks[h][r].ll
+                lognorm = add_logs(lognorm, z[r][h])
+            for h in range(nh):
+                z[r][h] = math.exp(z[r][h] - lognorm)
+                nk[h] += z[r][h]
+        for h in range(nh):
+            pi[h] = math.log(nk[h] / nr) if nk[h] > 0 else -745.0
+        e_new = 0.0
+        for r in range(nr):
+            for h in range(nh):
+                e_new += z[r][h] * (pi[h] + liks[h][r].ll)
+        converged = abs(e_old - e_new) < params.em_tol or it > 25
+        e_old = e_new
+        it += 1
+        if converged:
+            break
+    return [math.exp(x) for x in pi]
+
+
 def _g(x: float) -> str:
     return "%g" % x
 

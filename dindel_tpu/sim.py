@@ -10,7 +10,8 @@ import random
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
-from .io.bam import BamHeader, BamRecord, BamWriter, FPAIRED, FREVERSE, FMREVERSE
+from .io.bam import (BamHeader, BamRecord, BamWriter, FPAIRED, FREVERSE,
+                     FMREVERSE, FUNMAP, FMUNMAP)
 from .io.fasta import write_fasta
 
 BASES = "ACGT"
@@ -119,6 +120,9 @@ class SimConfig:
     tid_name: str = "1"
     sample: str = "SAMPLE"
     qname_prefix: str = "r"
+    # fraction of ALT-carrying second mates emitted as unmapped (placed at
+    # the mate position, empty CIGAR) to exercise --libFile realignment
+    unmapped_frac: float = 0.0
 
 
 def simulate(path_prefix: str, variants: List[PlantedVariant],
@@ -175,6 +179,22 @@ def simulate(path_prefix: str, variants: List[PlantedVariant],
             flag1 = FPAIRED | 0x40 | FMREVERSE
             flag2 = FPAIRED | 0x80 | FREVERSE
             q = bytes([cfg.base_qual] * cfg.read_len)
+            make_unmapped = (use_alt and cfg.unmapped_frac > 0
+                             and rng.random() < cfg.unmapped_frac
+                             and any(op in "ID" for op, _ in c2))
+            if make_unmapped:
+                r1 = BamRecord(qname=f"{cfg.qname_prefix}{i}",
+                               flag=FPAIRED | 0x40 | FMUNMAP, tid=0, pos=p1,
+                               mapq=cfg.map_qual, cigar=c1, mtid=0, mpos=p1,
+                               isize=0, seq=s1, qual=q,
+                               tags=[("RG", "Z", "rg1")])
+                r2 = BamRecord(qname=f"{cfg.qname_prefix}{i}",
+                               flag=FPAIRED | 0x80 | FUNMAP | FREVERSE,
+                               tid=0, pos=p1, mapq=0, cigar=[], mtid=0,
+                               mpos=p1, isize=0, seq=s2, qual=q,
+                               tags=[("RG", "Z", "rg1")])
+                recs.extend([r1, r2])
+                continue
             r1 = BamRecord(qname=f"{cfg.qname_prefix}{i}", flag=flag1 | 0x2, tid=0, pos=p1,
                            mapq=cfg.map_qual, cigar=c1, mtid=0, mpos=p2,
                            isize=(p2 + cfg.read_len - p1), seq=s1, qual=q,
