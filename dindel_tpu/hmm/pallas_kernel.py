@@ -213,7 +213,9 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties):
             an_ref[:] = noins_v
             ai_ref[:] = ins_v
 
-            pass
+            sel = (bmid == b)
+            amid_ref[:, :SP] = jnp.where(sel, noins_v, amid_ref[:, :SP])
+            amid_ref[:, SP:] = jnp.where(sel, ins_v, amid_ref[:, SP:])
 
             bt_write(btf_hbm, b - 1, noins_i, ins_i)
             advance(L_pad - 1)  # rotate left by one lane
@@ -296,7 +298,9 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties):
 
             an_ref[:] = noins_v
             ai_ref[:] = ins_v
-            pass
+            sel = (bmid == (b - 1))
+            bmid_ref[:, :SP] = jnp.where(sel, noins_v, bmid_ref[:, :SP])
+            bmid_ref[:, SP:] = jnp.where(sel, ins_v, bmid_ref[:, SP:])
 
             bt_write(btb_hbm, b - 1, noins_i, ins_i)
             advance(1)  # rotate right by one lane
