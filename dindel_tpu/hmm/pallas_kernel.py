@@ -34,7 +34,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .reference import EPS, TIE
 
 NEGBIG = -1.0e30
-TB = 128  # pairs per tile
+# Pairs per tile (sublane axis).  Pairs are independent along sublanes, so
+# TB is a pure performance knob.  Measured on v5e (tools/bench_tb.py,
+# bench.py shape): 128 is fastest (3.4e9 cells/s) — small tiles (8-64,
+# 1.3-1.7e9) pay per-step instruction-issue overhead 16x more often, and
+# 256 exceeds the 16MB scoped-VMEM limit.  Outputs are bit-identical
+# across TB (verified on hardware).
+TB_DEFAULT = 128
 
 
 def _fold_exact(dest_v, dest_i, cand_v, cand_i):
@@ -63,7 +69,7 @@ def _roll_left(x, y):
     return pltpu.roll(x, SP - y, 1)
 
 
-def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties):
+def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB):
     SP = H_pad + 2          # S_half, lane-aligned
     RO = H_pad + 1
     S2 = 2 * SP
@@ -75,7 +81,7 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties):
     def kernel(hap_len_ref, read_len_ref, b_mid_ref, read_codes_ref,
                hap_codes_ref, eq_ref, uq_ref, lpe_ref, lpn_ref,
                amid_ref, bmid_ref, btf_hbm, btb_hbm,
-               an_ref, ai_ref, hapat_ref, btbuf_ref,
+               an_ref, ai_ref, hapat_ref, btbuf0_ref, btbuf1_ref,
                rcs_ref, eqs_ref, uqs_ref, dma_sems):
         i = pl.program_id(0)
         lane = lax.broadcasted_iota(jnp.int32, (TB, SP), 1)
@@ -141,17 +147,41 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties):
 
         num_tiles = pl.num_programs(0)
 
-        def bt_write(hbm_ref, b_index, noins_i, ins_i):
+        def bt_dma(hbm_ref, b_index, buf_ref, s):
             # hbm_ref is 2-D (L*B, S2); row block = b_index*B + tile*TB
-            btbuf_ref[:, :SP] = noins_i
-            btbuf_ref[:, SP:] = ins_i
             row = (b_index * num_tiles + i) * TB
-            dma = pltpu.make_async_copy(
-                btbuf_ref,
-                hbm_ref.at[pl.ds(row, TB), :],
-                dma_sems.at[0])
-            dma.start()
-            dma.wait()
+            return pltpu.make_async_copy(
+                buf_ref, hbm_ref.at[pl.ds(row, TB), :], dma_sems.at[s])
+
+        def bt_write(hbm_ref, step, b_index, noins_i, ins_i):
+            """Stage + DMA the backpointers of pass-step `step` (write row
+            block `b_index`), double-buffered: the copy started at step k
+            is waited on at step k+2, overlapping it with the next steps'
+            compute.  `step` counts 0.. within each pass; `b_index` is the
+            HBM slice (they differ in the backward pass).  wait() only
+            consumes the semaphore, so the descriptor's address args need
+            not match the copy being waited on."""
+            def issue(buf_ref, s):
+                @pl.when(step >= 2)
+                def _():
+                    bt_dma(hbm_ref, b_index, buf_ref, s).wait()
+                buf_ref[:, :SP] = noins_i
+                buf_ref[:, SP:] = ins_i
+                bt_dma(hbm_ref, b_index, buf_ref, s).start()
+
+            @pl.when(lax.rem(step, 2) == 0)
+            def _():
+                issue(btbuf0_ref, 0)
+
+            @pl.when(lax.rem(step, 2) == 1)
+            def _():
+                issue(btbuf1_ref, 1)
+
+        def bt_drain(hbm_ref, n_steps):
+            # n_steps is static: wait for the last (up to) two copies
+            for k in range(max(0, n_steps - 2), n_steps):
+                buf_ref = btbuf0_ref if k % 2 == 0 else btbuf1_ref
+                bt_dma(hbm_ref, 0, buf_ref, k % 2).wait()
 
         # ---------------- forward (Dec) pass ----------------
         rcs_ref[:] = read_codes_ref[:]
@@ -217,11 +247,12 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties):
             amid_ref[:, :SP] = jnp.where(sel, noins_v, amid_ref[:, :SP])
             amid_ref[:, SP:] = jnp.where(sel, ins_v, amid_ref[:, SP:])
 
-            bt_write(btf_hbm, b - 1, noins_i, ins_i)
+            bt_write(btf_hbm, b - 1, b - 1, noins_i, ins_i)
             advance(L_pad - 1)  # rotate left by one lane
             return 0
 
         lax.fori_loop(1, L_act, fwd_body, 0)
+        bt_drain(btf_hbm, L_act - 1)
 
         # ---------------- backward (Inc) pass ----------------
         an_ref[:] = jnp.zeros((TB, SP), an_ref.dtype)
@@ -302,11 +333,12 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties):
             bmid_ref[:, :SP] = jnp.where(sel, noins_v, bmid_ref[:, :SP])
             bmid_ref[:, SP:] = jnp.where(sel, ins_v, bmid_ref[:, SP:])
 
-            bt_write(btb_hbm, b - 1, noins_i, ins_i)
+            bt_write(btb_hbm, t, b - 1, noins_i, ins_i)
             advance(1)  # rotate right by one lane
             return 0
 
         lax.fori_loop(0, L_act - 1, bwd_body, 0)
+        bt_drain(btb_hbm, L_act - 1)
 
     return kernel
 
@@ -314,13 +346,14 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties):
 def dp_pallas(H_pad, L_pad, numT,
               hap_len, read_len, b_mid, read_codes, hap_codes,
               eq, uq, lpe, lpn, lpeV, lpnV, scalars, interpret=False,
-              exact_ties=False):
+              exact_ties=False, tb=None):
     """Pallas implementation of the DP passes; same contract as _dp_xla
     (lpeV/lpnV are recomputed in-kernel via lane rolls and ignored).
 
     Backpointer slices for b >= max(read_len) are left uninitialized in
     HBM; _finish only consumes slices below each pair's read length."""
     del lpeV, lpnV
+    TB = TB_DEFAULT if tb is None else int(tb)
     B = hap_len.shape[0]
     SP = H_pad + 2
     if SP % 128 != 0:
@@ -349,7 +382,7 @@ def dp_pallas(H_pad, L_pad, numT,
 
     num_tiles = Bp // TB
     scal = tuple(float(x) for x in np.asarray(scalars))
-    kernel = _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties)
+    kernel = _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB)
 
     def im(i):
         return (i, 0)
@@ -381,11 +414,12 @@ def dp_pallas(H_pad, L_pad, numT,
         pltpu.VMEM((TB, SP), dtype),       # an
         pltpu.VMEM((TB, SP), dtype),       # ai
         pltpu.VMEM((TB, SP), jnp.int32),   # hap base codes at lane
-        pltpu.VMEM((TB, S2), jnp.int32),   # bt staging
+        pltpu.VMEM((TB, S2), jnp.int32),   # bt staging (even steps)
+        pltpu.VMEM((TB, S2), jnp.int32),   # bt staging (odd steps)
         pltpu.VMEM((TB, L_pad), jnp.int32),  # rolling read codes
         pltpu.VMEM((TB, L_pad), dtype),      # rolling eq
         pltpu.VMEM((TB, L_pad), dtype),      # rolling uq
-        pltpu.SemaphoreType.DMA((1,)),
+        pltpu.SemaphoreType.DMA((2,)),
     ]
     i32 = lambda a: a.astype(jnp.int32)
     wide = lambda a: jnp.broadcast_to(i32(a)[:, None], (Bp, 128))
