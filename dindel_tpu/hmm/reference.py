@@ -351,6 +351,178 @@ def pair_hmm_single(hap: Haplotype, read: Read, hap_start: int,
     return ml
 
 
+class _TransSum:
+    """Base-class transition log-probs (ObservationModelFB::
+    setupTransitionProbs, ObservationModelFB.cpp:183-217): homopolymer-blind
+    logPTrans table and logpInsgIns = -1.0 (:206) — unlike FBMaxErr which
+    uses -0.5 and the per-position lpe/lpn tables."""
+
+    def __init__(self, params: ObservationModelParameters):
+        p = params
+        self.logpLOgLO = math.log(1.0 - p.p_first_g_lo)
+        self.logpFirstgLO = math.log(p.p_first_g_lo)
+        self.numT = p.max_length_del + 2
+        lt = np.zeros(self.numT)
+        lt[1] = math.log(1.0 - p.p_error)
+        norm = 0.0
+        for x in range(2, self.numT):
+            lt[x] = -abs(1.0 - x)
+            norm += math.exp(lt[x])
+        norm = math.log(norm / p.p_error)
+        lt[2:] -= norm
+        self.logPTrans = lt
+        self.logpInsgIns = -1.0
+        self.logpNoInsgIns = math.log(1.0 - math.exp(self.logpInsgIns))
+        self.logpInsgNoIns = math.log(p.p_error)
+        self.logpNoInsgNoIns = math.log(1.0 - p.p_error)
+
+
+def _pass_sum_dec(tr: _TransSum, H: int, src: np.ndarray,
+                  obs: np.ndarray) -> np.ndarray:
+    """Sum-product forward step toward increasing read base (dest-indexed
+    'Dec' orientation): ObservationModelFB::passMessageTwoDec
+    (ObservationModelFB.cpp:624-586).  dest = alpha[b], src = alpha[b-1],
+    obs = obs[b-1].  logaddexp replaces the reference's exp/log round-trip
+    (same math, underflow-safe)."""
+    numS = H + 2
+    RO = H + 1
+    W = src + obs
+    dest = np.full(2 * numS, NEG)
+    # noins -> noins: RO stay / enter hap at H (from RO)
+    dest[RO] = np.logaddexp(W[RO] + tr.logpLOgLO + tr.logpNoInsgNoIns,
+                            W[H] + tr.logpFirstgLO + tr.logpNoInsgNoIns)
+    # on-hap deletions/matches: dest x <- src max(x-y, 0)
+    for x in range(1, H + 1):
+        acc = NEG
+        for y in range(1, tr.numT):
+            newx = max(x - y, 0)
+            acc = np.logaddexp(acc, W[newx] + tr.logPTrans[y]
+                               + tr.logpNoInsgNoIns)
+        dest[x] = acc
+    dest[0] = W[0] + tr.logpNoInsgNoIns
+    # noins -> ins (x-1): RO contributes to ins RO and ins H
+    dest[numS + RO] = np.logaddexp(W[RO] + tr.logpLOgLO + tr.logpInsgNoIns,
+                                   W[H] + tr.logpFirstgLO + tr.logpInsgNoIns)
+    for x in range(0, H + 1):
+        newx = max(x - 1, 0)
+        dest[numS + newx] = np.logaddexp(dest[numS + newx],
+                                         W[x] + tr.logpInsgNoIns)
+    # ins -> ins (stay), then ins -> noins (stay x)
+    for x in range(0, numS):
+        dest[numS + x] = np.logaddexp(dest[numS + x],
+                                      W[numS + x] + tr.logpInsgIns)
+        dest[x] = np.logaddexp(dest[x], W[numS + x] + tr.logpNoInsgIns)
+    return dest
+
+
+def _pass_sum_inc(tr: _TransSum, H: int, src: np.ndarray,
+                  obs: np.ndarray) -> np.ndarray:
+    """Sum-product backward step (dest-indexed 'Inc' orientation):
+    ObservationModelFB::passMessageTwoInc (ObservationModelFB.cpp:488-529).
+    dest = beta[b-1], src = beta[b], obs = obs[b]."""
+    numS = H + 2
+    RO = H + 1
+    W = src + obs
+    dest = np.full(2 * numS, NEG)
+    dest[0] = np.logaddexp(W[0] + tr.logpLOgLO + tr.logpNoInsgNoIns,
+                           W[1] + tr.logpFirstgLO + tr.logpNoInsgNoIns)
+    for x in range(1, H + 1):
+        acc = NEG
+        for y in range(1, tr.numT):
+            newx = min(x + y, RO) if x + y > H else x + y
+            acc = np.logaddexp(acc, tr.logPTrans[y] + tr.logpNoInsgNoIns
+                               + W[newx])
+        dest[x] = acc
+    dest[RO] = W[RO] + tr.logpNoInsgNoIns
+    # noins -> ins at next base (stay x)
+    for x in range(0, numS):
+        dest[x] = np.logaddexp(dest[x], W[numS + x] + tr.logpInsgNoIns)
+    # ins -> ins (stay), then ins -> noins (x+1, clamped; x=0 stays 0)
+    for x in range(0, numS):
+        dest[numS + x] = W[numS + x] + tr.logpInsgIns
+    dest[numS + 0] = np.logaddexp(dest[numS + 0], W[0] + tr.logpNoInsgIns)
+    for x in range(1, numS):
+        newx = min(x + 1, RO)
+        dest[numS + x] = np.logaddexp(dest[numS + x],
+                                      W[newx] + tr.logpNoInsgIns)
+    return dest
+
+
+def pair_hmm_single_sum(hap: Haplotype, read: Read, hap_start: int,
+                        params: Optional[ObservationModelParameters] = None,
+                        want_marginals: bool = False):
+    """Sum-product (exact forward) pair-HMM likelihood — the
+    ObservationModelFB base-class observation model (SURVEY.md §2.1 row
+    'Pair-HMM observation model (sum-product)').
+
+    IMPORTANT BEHAVIORAL NOTE: the reference's own sum-product likelihood
+    is dead code — ObservationModelFB::calcLikelihoodFromLastSlice throws
+    'CHANGE ME! PRIOR NOT CALCULATED IN RIGHT PLACE' unconditionally
+    (ObservationModelFB.cpp:122-124) and the base class is never
+    instantiated by DInDel.cpp (only FBMax/FBMaxErr are).  There is
+    therefore no bit-level contract to match.  This implements the intended
+    semantics: the base-class transition structure (passMessageTwoDec/Inc,
+    ObservationModelFB.cpp:488-586; logpInsgIns=-1.0 at :206), forward
+    split at bMid (computeForwardMessages :589-607), and the anchored bMid
+    prior applied at the slice the way the working max-product path does
+    (FBMax::calcLikelihoodFromLastSlice, :1075-1144) — with logsumexp in
+    place of max.
+
+    Returns (ll, off_hap, marginals) where marginals is the (2*numS,)
+    normalized posterior state distribution at the bMid anchor slice,
+    prior included, if requested (else None).  The reference's full
+    per-base computeMarginals (ObservationModelFB.cpp:648-691) is also
+    dead code and excludes the prior — which makes off-hap paths dominate
+    every slice (off-hap states emit the match potential, :237) — so we
+    expose the anchored-slice posterior instead, which is the quantity the
+    working max-product path maximizes."""
+    if params is None:
+        params = ObservationModelParameters()
+    hap_seq = hap.seq
+    H = len(hap_seq)
+    if params.max_length_del > H:
+        raise ValueError("hapSize error.")
+    numS = H + 2
+    RO = H + 1
+    L = read.size()
+    S = 2 * numS
+
+    b_mid = compute_b_mid(read, hap_start, H, params.b_mid)
+    tr = _TransSum(params)
+    obs = _emissions(hap_seq, read, params)
+
+    alpha = np.zeros((L, S))
+    beta = np.zeros((L, S))
+    for b in range(1, b_mid + 1):
+        alpha[b] = _pass_sum_dec(tr, H, alpha[b - 1], obs[b - 1])
+    for b in range(L - 1, b_mid, -1):
+        beta[b - 1] = _pass_sum_inc(tr, H, beta[b], obs[b])
+
+    # anchored prior at the bMid slice, max-product scheme (the base
+    # class's own prior placement is the part its author flagged broken)
+    trm = _Trans(params, hap_seq)
+    prior = compute_b_mid_prior(trm, read, hap_start, H, params,
+                                read.map_qual, b_mid)
+    v = alpha[b_mid] + obs[b_mid] + beta[b_mid] + prior
+
+    def lse(a):
+        m = np.max(a)
+        if m == NEG:
+            return NEG
+        return m + math.log(np.sum(np.exp(a - m)))
+
+    ll = lse(v)
+    x_mod = np.arange(S) % numS
+    off_mass = lse(v[(x_mod == 0) | (x_mod == RO)])
+    off_hap = off_mass > lse(v[(x_mod != 0) & (x_mod != RO)])
+
+    marginals = None
+    if want_marginals:
+        m = np.exp(v - np.max(v))
+        marginals = m / m.sum()
+    return ll, off_hap, marginals
+
+
 def _report_variants(ml: MLAlignment, map_state: np.ndarray, hap: Haplotype,
                      read: Read, params: ObservationModelParameters,
                      numS: int, RO: int) -> None:
