@@ -96,7 +96,7 @@ def main():
     def run():
         amid, bmid_, btf, btb = dp(pk["H_pad"], pk["L_pad"], pk["numT"], *args)
         return _finish(pk["H_pad"], pk["L_pad"], bm, amid, bmid_, obs_mid,
-                       prr, prh, btf, btb)
+                       prr, prh, btf, btb, exact_ties=not on_tpu)
 
     # warmup/compile; fetch to host to force full completion (the axon
     # tunnel's block_until_ready does not wait for remote execution)

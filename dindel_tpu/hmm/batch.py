@@ -243,11 +243,21 @@ def _dp_xla(H_pad, L_pad, numT,
     return alpha_mid, beta_mid, btf, btb
 
 
-@partial(jax.jit, static_argnames=("H_pad", "L_pad"))
+@partial(jax.jit, static_argnames=("H_pad", "L_pad", "exact_ties"))
 def _finish(H_pad, L_pad, b_mid,
-            alpha_mid, beta_mid, obs_mid, prior_rmq, prior_hmq, btf, btb):
+            alpha_mid, beta_mid, obs_mid, prior_rmq, prior_hmq, btf, btb,
+            exact_ties=True):
     """bMid-slice likelihood folds (calcLikelihoodFromLastSlice,
-    ObservationModelFB.cpp:1075-1144) + MAP-state reconstruction."""
+    ObservationModelFB.cpp:1075-1144) + MAP-state reconstruction.
+
+    exact_ties=True emulates the reference's order-dependent EPS-guarded
+    fold (:1096-1117) with a sequential lax.scan over all 2*(H_pad+2)
+    states.  exact_ties=False replaces it with a parallel first-occurrence
+    argmax: the fold's `v > ll + EPS` guard degenerates to a strict `>`
+    whenever EPS (1e-10) is below one ulp of the running maximum — true in
+    float32 for any |ll| >= ~0.01, i.e. every realistic log-likelihood —
+    and a strict-> fold with first-index-wins ties IS argmax.  Same
+    deviation class as the Pallas kernel's fast fold."""
     B = b_mid.shape[0]
     S_half = H_pad + 2
     S = 2 * S_half
@@ -258,28 +268,40 @@ def _finish(H_pad, L_pad, b_mid,
     vr = base + prior_rmq
     vh = base + prior_hmq
 
-    def lik_fold(carry, x):
-        ll, idxR, llH, idxH, off0, off1 = carry
-        v = vr[:, x]
-        w = vh[:, x]
-        takeR = v > ll + EPS
-        ll = jnp.where(takeR, v, ll)
-        idxR = jnp.where(takeR, x, idxR)
-        takeH = w > llH + EPS
-        llH = jnp.where(takeH, w, llH)
-        idxH = jnp.where(takeH, x, idxH)
-        xm = x % S_half
-        is0 = xm == 0
-        isRO = xm == RO
-        off0 = jnp.where(is0 & (v > off0), v, off0)
-        off1 = jnp.where((~is0) & (~isRO) & (v > off1), v, off1)
-        return (ll, idxR, llH, idxH, off0, off1), None
+    if not exact_ties:
+        map_rmq = jnp.argmax(vr, axis=1).astype(jnp.int32)
+        ll = jnp.max(vr, axis=1)
+        s_mid = jnp.argmax(vh, axis=1).astype(jnp.int32)
+        ll_hmq = jnp.max(vh, axis=1)
+        xm = jnp.arange(S, dtype=jnp.int32) % S_half
+        is0 = (xm == 0)[None, :]
+        isRO = (xm == RO)[None, :]
+        neginf = jnp.array(-jnp.inf, dtype=dtype)
+        ll_off = jnp.max(jnp.where(is0, vr, neginf), axis=1)
+        ll_on = jnp.max(jnp.where(is0 | isRO, neginf, vr), axis=1)
+    else:
+        def lik_fold(carry, x):
+            ll, idxR, llH, idxH, off0, off1 = carry
+            v = vr[:, x]
+            w = vh[:, x]
+            takeR = v > ll + EPS
+            ll = jnp.where(takeR, v, ll)
+            idxR = jnp.where(takeR, x, idxR)
+            takeH = w > llH + EPS
+            llH = jnp.where(takeH, w, llH)
+            idxH = jnp.where(takeH, x, idxH)
+            xm = x % S_half
+            is0 = xm == 0
+            isRO = xm == RO
+            off0 = jnp.where(is0 & (v > off0), v, off0)
+            off1 = jnp.where((~is0) & (~isRO) & (v > off1), v, off1)
+            return (ll, idxR, llH, idxH, off0, off1), None
 
-    neg = jnp.full((B,), -jnp.inf, dtype=dtype)
-    zero_i = jnp.zeros((B,), jnp.int32)
-    (ll, map_rmq, ll_hmq, s_mid, ll_off, ll_on), _ = lax.scan(
-        lik_fold, (neg, zero_i, neg, zero_i, neg, neg),
-        jnp.arange(S, dtype=jnp.int32), unroll=8)
+        neg = jnp.full((B,), -jnp.inf, dtype=dtype)
+        zero_i = jnp.zeros((B,), jnp.int32)
+        (ll, map_rmq, ll_hmq, s_mid, ll_off, ll_on), _ = lax.scan(
+            lik_fold, (neg, zero_i, neg, zero_i, neg, neg),
+            jnp.arange(S, dtype=jnp.int32), unroll=8)
 
     def down_body(cur, t):
         b = t
@@ -344,9 +366,16 @@ def get_dp_impl(name: str):
     raise ValueError(name)
 
 
-def run_packed(pk: dict, dp_impl: str = "xla"):
+def run_packed(pk: dict, dp_impl: str = "xla", exact_ties: bool = None):
     """Run DP + finish on a packed dict; returns device outputs
-    (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state)."""
+    (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state).
+
+    exact_ties=None picks per impl: XLA (the float64 oracle-parity path)
+    keeps the exact sequential likelihood fold; Pallas (the f32 production
+    path, whose DP fold is already fast-tie) uses the parallel argmax
+    finish."""
+    if exact_ties is None:
+        exact_ties = (dp_impl == "xla")
     dp = get_dp_impl(dp_impl)
     alpha_mid, beta_mid, btf, btb = dp(
         pk["H_pad"], pk["L_pad"], pk["numT"],
@@ -360,7 +389,7 @@ def run_packed(pk: dict, dp_impl: str = "xla"):
     return _finish(pk["H_pad"], pk["L_pad"], jnp.asarray(pk["b_mid"]),
                    alpha_mid, beta_mid, obs_mid,
                    jnp.asarray(pk["prior_rmq"]), jnp.asarray(pk["prior_hmq"]),
-                   btf, btb)
+                   btf, btb, exact_ties=exact_ties)
 
 
 def pack_pairs(haps: List[Haplotype], reads: List[Read], hap_start: int,

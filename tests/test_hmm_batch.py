@@ -89,3 +89,35 @@ def test_varied_lengths():
         for ri, r in enumerate(reads):
             ml_ref = pair_hmm_single(hap, r, 0, params)
             assert liks[hi][ri].ll == pytest.approx(ml_ref.ll, abs=1e-9)
+
+
+def test_fast_finish_matches_exact_f32():
+    """The parallel-argmax finish (exact_ties=False) must be bit-identical
+    to the sequential EPS-guarded fold on realistic f32 workloads (the EPS
+    margin is sub-ulp for any |ll| >= ~0.01; see _finish docstring)."""
+    import jax.numpy as jnp
+    from dindel_tpu.config import ObservationModelParameters
+    from dindel_tpu.hmm.batch import (pack_pairs, compute_obs_mid, _finish,
+                                      _dp_xla)
+    from dindel_tpu.parallel.mesh import synth_windows
+
+    (haps, reads, hs), = synth_windows(1, nh=4, nr=48, H=90, L=60, seed=11)
+    pk = pack_pairs(haps, reads, hs, ObservationModelParameters(),
+                    dtype=np.float32)
+    args = [jnp.asarray(pk[k]) for k in
+            ["hap_len", "read_len", "b_mid", "read_codes", "hap_codes",
+             "eq", "uq", "lpe", "lpn", "lpeV", "lpnV"]] \
+        + [jnp.asarray(pk["scalars"])]
+    amid, bmid_, btf, btb = _dp_xla(pk["H_pad"], pk["L_pad"], pk["numT"],
+                                    *args)
+    om = jnp.asarray(compute_obs_mid(pk))
+    bm = jnp.asarray(pk["b_mid"])
+    prr = jnp.asarray(pk["prior_rmq"])
+    prh = jnp.asarray(pk["prior_hmq"])
+    common = (pk["H_pad"], pk["L_pad"], bm, amid, bmid_, om, prr, prh,
+              btf, btb)
+    exact = _finish(*common, exact_ties=True)
+    fast = _finish(*common, exact_ties=False)
+    for name, x, y in zip(["ll", "off_hap", "off_hap_hmq", "ll_off",
+                           "ll_on", "map_state"], exact, fast):
+        assert np.array_equal(np.asarray(x), np.asarray(y)), name
