@@ -63,6 +63,23 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--libFile")
     ap.add_argument("--opl", action="store_true",
                     help="output likelihoods for every read and haplotype")
+    # debug/inspection flags (DInDel.cpp:4167-4173)
+    ap.add_argument("--compareReadHap", action="store_true",
+                    help="compare likelihood differences in reads against "
+                         "haplotypes (accepted for CLI parity; its consumer "
+                         "is commented out in the reference, "
+                         "DInDel.cpp:574-584)")
+    ap.add_argument("--compareReadHapThreshold", type=float, default=0.5)
+    ap.add_argument("--showEmpirical", action="store_true",
+                    help="show empirical distribution over nucleotides")
+    ap.add_argument("--showCandHap", action="store_true",
+                    help="show candidate haplotypes")
+    ap.add_argument("--showHapAlignments", action="store_true",
+                    help="show for each haplotype which reads map to it")
+    ap.add_argument("--showReads", action="store_true", help="show reads")
+    ap.add_argument("--inferenceMethod", default="empirical",
+                    help="inference method (only 'empirical' does anything, "
+                         "as in the reference, DInDel.cpp:1365)")
     ap.add_argument("--hmmBackend", default="jax",
                     choices=["jax", "pallas", "oracle"],
                     help="pair-HMM backend: jax (batched XLA kernel), "
@@ -109,6 +126,13 @@ def params_from_args(args) -> Parameters:
     p.output_realigned_bam = args.outputRealignedBAM
     p.process_realigned_bam = args.processRealignedBAM
     p.quiet = args.quiet
+    p.inference_method = args.inferenceMethod
+    p.analyze_low_freq = args.compareReadHap
+    p.analyze_low_freq_diff_threshold = args.compareReadHapThreshold
+    p.show_hap_dist = args.showEmpirical
+    p.show_cand_hap = args.showCandHap
+    p.show_reads = args.showReads
+    p.show_hap_alignments = args.showHapAlignments
     p.do_diploid = args.doDiploid
     p.estimate_hap_freqs = args.doPooled
     p.filter_haplotypes = args.filterHaplotypes

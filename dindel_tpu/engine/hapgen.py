@@ -270,6 +270,18 @@ class HDIterator:
     enumeration with candidate-variant injection
     (HaplotypeDistribution.hpp:82-496)."""
 
+    def __str__(self) -> str:
+        """--showEmpirical dump (HDIterator2 operator<<,
+        HaplotypeDistribution.hpp: block print): per-block haplotypes with
+        counts and frequencies."""
+        lines = []
+        for x, b in enumerate(self.hbs):
+            lines.append(f"block[{x}] [{b.start},{b.end}] type={b.type}")
+            for h in b.haps:
+                lines.append(f"  {h.seq if h.seq else '<del>'} "
+                             f"count={h.count} freq={h.freq:.4f}")
+        return "\n".join(lines)
+
     def __init__(self, hd: HaplotypeDistribution, max_hap: int, pos: int,
                  left: int, right: int, no_indel_window: int = -1):
         self.mid_pos = pos

@@ -34,6 +34,50 @@ def _logadd(a: float, b: float) -> float:
     return add_logs(a, b)
 
 
+def _show_reads(reads: List[Read]) -> None:
+    """--showReads (DInDel.cpp:1250-1254; Read operator<< Read.hpp:408)."""
+    for r, read in enumerate(reads):
+        quals = " ".join(repr(float(q)) for q in read.qual)
+        print(f"read[{r}]: pos: {read.pos} 1-mapping quality: "
+              f"{1.0 - read.map_qual} {read.seq} {quals}")
+
+
+def _show_cand_haps(haps: List[Haplotype]) -> None:
+    """--showCandHap (DInDel.cpp:1629-1632)."""
+    for i, h in enumerate(haps):
+        vs = ";".join(v.str for v in list(h.indels.values())
+                      + list(h.snps.values()))
+        print(f"POSTFILTER hdi[{i}]:{h.seq} {vs}")
+
+
+def _show_alignments_per_haplotype(haps: List[Haplotype], reads: List[Read],
+                                   liks, offset: int = 50) -> None:
+    """--showHapAlignments (showAlignmentsPerHaplotype,
+    DInDel.cpp:234-263): assign each read to its max-likelihood haplotype
+    and print the reads aligned under each haplotype."""
+    max_hap = [set() for _ in haps]
+    for r in range(len(reads)):
+        idx, ml = 0, -math.inf
+        for h in range(len(haps)):
+            if liks[h][r].ll > ml:
+                ml = liks[h][r].ll
+                idx = h
+        max_hap[idx].add(r)
+    print("ALIGNMENTS")
+    for h, hap in enumerate(haps):
+        print("*******************************************")
+        print(f"\nHAPLOTYPE {h}\n")
+        print(" " * offset + hap.seq)
+        for r in sorted(max_hap[h]):
+            ml = liks[h][r]
+            first = next((hp for hp in ml.hpos if hp >= 0), 0)
+            rel = first - next((b for b, hp in enumerate(ml.hpos)
+                                if hp >= 0), 0)
+            pad = max(0, offset + rel)
+            print(" " * pad + reads[r].seq
+                  + f"  ll={ml.ll:.4f}")
+
+
 def _safe_cigar(hap, read, ml, ref_seq_pos):
     from .realign_bam import CigarError, get_cigar
     try:
@@ -122,6 +166,10 @@ class WindowEngine:
                              p.no_indel_window)
             if hdi.get_log_num_haps() > math.log(p.skip_max_hap):
                 return True, [], left_pos, right_pos
+            if p.show_hap_dist:
+                # --showEmpirical (DInDel.cpp:1586-1589)
+                print("\nEmpirical distribution: ")
+                print(hdi)
             haps = hdi.generate_haps_with_aligned_variants(
                 candidates, p.change_ins_to_n)
             if len(haps) > p.skip_max_hap or len(haps) * len(reads) > p.max_hap_read_prod:
@@ -140,6 +188,8 @@ class WindowEngine:
                 else:
                     tmp.append(hap)
             haps = tmp
+            if p.show_cand_hap:
+                _show_cand_haps(haps)
         except HapGenError as e:
             if str(e) == "Blocks are not consecutive.":
                 raise WindowError("hapblock")
@@ -201,6 +251,8 @@ class WindowEngine:
             rows.extend(emrows)
         if p.do_diploid:
             liks, on_hap = self.compute_likelihoods(haps, reads, left_pos)
+            if p.show_hap_alignments:
+                _show_alignments_per_haplotype(haps, reads, liks)
             filtered, var_coverage = filter_haplotypes(
                 haps, reads, liks, p, p.filter_haplotypes)
             try:
@@ -314,8 +366,16 @@ class WindowEngine:
                     reads = get_reads(self.bams, p.tid, left_pos, right_pos, p,
                                       self.libraries, self.buf)
                 self.buf.reset = False
-                rows = self.empirical_distribution_method(
-                    index, reads, pos, left_pos, right_pos, candidates, glf_data)
+                if p.show_reads:
+                    _show_reads(reads)
+                # the reference dispatches on inferenceMethod and silently
+                # does NOTHING for any value other than "empirical"
+                # (DInDel.cpp:1365) — mirrored here, quirk and all
+                rows = []
+                if p.inference_method == "empirical":
+                    rows = self.empirical_distribution_method(
+                        index, reads, pos, left_pos, right_pos, candidates,
+                        glf_data)
                 all_rows.extend(rows)
                 self.stats.windows_ok += 1
                 self.stats.reads_processed += len(reads)
