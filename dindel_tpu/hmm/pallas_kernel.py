@@ -41,6 +41,9 @@ NEGBIG = -1.0e30
 # 256 exceeds the 16MB scoped-VMEM limit.  Outputs are bit-identical
 # across TB (verified on hardware).
 TB_DEFAULT = 128
+# Default invariant-hoisting mode (see _make_kernel docstring); A/B'd on
+# hardware with tools/ab_hoist.py.
+HOIST_DEFAULT = "all"
 
 
 def _fold_exact(dest_v, dest_i, cand_v, cand_i):
@@ -69,7 +72,19 @@ def _roll_left(x, y):
     return pltpu.roll(x, SP - y, 1)
 
 
-def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB):
+def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
+                 hoist="all"):
+    """hoist controls where the loop-invariant candidate costs/indices are
+    materialized (pure code motion; values and fold structure identical):
+      - "all":   both passes' invariants computed in the prologue (round-1
+                 baseline) — ~24 live (TB, SP) arrays across both loops.
+      - "split": each pass's invariants computed immediately before its own
+                 fori_loop, so the forward pass does not carry the backward
+                 pass's 12 arrays (and vice versa).
+      - "none":  invariants recomputed inside the loop bodies each step —
+                 minimum live state, extra VPU ops per step.
+    Mosaic's scheduling is extremely sensitive to live-value pressure (see
+    PERF_NOTES.md); these modes exist to A/B that on hardware."""
     SP = H_pad + 2          # S_half, lane-aligned
     RO = H_pad + 1
     S2 = 2 * SP
@@ -88,10 +103,6 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB):
         hl = hap_len_ref[:][:, 0:1]               # (TB, 1)
         bmid = b_mid_ref[:][:, 0:1]
         rlen = read_len_ref[:][:, 0:1]
-        lpe = lpe_ref[:]
-        lpn = lpn_ref[:]
-        maskH = (lane == hl).astype(lpe.dtype)    # one-hot at Hh
-        lpeH = jnp.sum(lpe * maskH, axis=1, keepdims=True)
         live = (lane <= hl) | (lane == RO)
         is0 = lane == 0
         isRO = lane == RO
@@ -99,30 +110,48 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB):
         hapat_ref[:] = _roll_right(hap_codes_ref[:], 1, jnp.int32(NCODE))
         on_hap = (lane >= 1) & (lane <= hl)
 
-        # ---- loop-invariant candidate costs / indices (hoisted) ----
-        # Dec: lp(y) dest-indexed; the (src + lp) + lpn association matches
-        # _dp_xla exactly (float order matters for bit-parity)
-        dec_lp = []
-        dec_srci = []
-        for y in range(1, numT):
-            dec_lp.append(lpn if y == 1 else (lpe + (y - 1) * logpInsgIns))
-            dec_srci.append(jnp.maximum(lane - y, 0))
-        # Inc: cost src-indexed with per-hap RO clamping
-        lpeROv = lpe[:, RO:RO + 1]
-        lpnROv = lpn[:, RO:RO + 1]
-        inc_cost = []
-        inc_srci = []
-        for y in range(1, numT):
-            clamped = (lane + y) <= hl
-            s_lpe = jnp.where(clamped, _roll_left(lpe, y), lpeROv)
-            s_lpn = jnp.where(clamped, _roll_left(lpn, y), lpnROv)
-            lp = s_lpn if y == 1 else (s_lpe + (y - 1) * logpInsgIns)
-            inc_cost.append(lp + s_lpn)
-            inc_srci.append(jnp.where(clamped, lane + y, RO))
-        clamped1 = (lane + 1) <= hl
-        inc_src_i1 = jnp.where(clamped1, lane + 1, RO)
-        # insertion-open cost lpe[x+1] (0 at RO)
-        lpe_x1 = jnp.where(isRO, 0.0, _roll_left(lpe, 1))
+        # ---- loop-invariant candidate costs / indices ----
+        def dec_invariants():
+            # Dec: lp(y) dest-indexed; the (src + lp) + lpn association
+            # matches _dp_xla exactly (float order matters for bit-parity)
+            lpe = lpe_ref[:]
+            lpn = lpn_ref[:]
+            maskH = (lane == hl).astype(lpe.dtype)    # one-hot at Hh
+            lpeH = jnp.sum(lpe * maskH, axis=1, keepdims=True)
+            lpeROv = lpe[:, RO:RO + 1]
+            dec_lp = []
+            dec_srci = []
+            for y in range(1, numT):
+                dec_lp.append(lpn if y == 1
+                              else (lpe + (y - 1) * logpInsgIns))
+                dec_srci.append(jnp.maximum(lane - y, 0))
+            return dec_lp, dec_srci, lpe, lpn, maskH, lpeH, lpeROv
+
+        def inc_invariants():
+            # Inc: cost src-indexed with per-hap RO clamping
+            lpe = lpe_ref[:]
+            lpn = lpn_ref[:]
+            lpeROv = lpe[:, RO:RO + 1]
+            lpnROv = lpn[:, RO:RO + 1]
+            inc_cost = []
+            inc_srci = []
+            for y in range(1, numT):
+                clamped = (lane + y) <= hl
+                s_lpe = jnp.where(clamped, _roll_left(lpe, y), lpeROv)
+                s_lpn = jnp.where(clamped, _roll_left(lpn, y), lpnROv)
+                lp = s_lpn if y == 1 else (s_lpe + (y - 1) * logpInsgIns)
+                inc_cost.append(lp + s_lpn)
+                inc_srci.append(jnp.where(clamped, lane + y, RO))
+            clamped1 = (lane + 1) <= hl
+            inc_src_i1 = jnp.where(clamped1, lane + 1, RO)
+            # insertion-open cost lpe[x+1] (0 at RO)
+            lpe_x1 = jnp.where(isRO, 0.0, _roll_left(lpe, 1))
+            return (inc_cost, inc_srci, clamped1, inc_src_i1, lpe_x1,
+                    lpnROv)
+
+        if hoist == "all":
+            dec_inv = dec_invariants()
+            inc_inv = inc_invariants()
 
         amid_ref[:] = jnp.zeros((TB, S2), amid_ref.dtype)
         bmid_ref[:] = jnp.zeros((TB, S2), bmid_ref.dtype)
@@ -188,7 +217,12 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB):
         eqs_ref[:] = eq_ref[:]
         uqs_ref[:] = uq_ref[:]
 
+        if hoist == "split":
+            dec_inv = dec_invariants()
+
         def fwd_body(b, _):
+            (dec_lp, dec_srci, lpe, lpn, maskH, lpeH, lpeROv) = (
+                dec_invariants() if hoist == "none" else dec_inv)
             obs_n, e = obs_current()  # read base b-1
             Wn = an_ref[:] + obs_n
             Wi = ai_ref[:] + e
@@ -255,6 +289,8 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB):
         bt_drain(btf_hbm, L_act - 1)
 
         # ---------------- backward (Inc) pass ----------------
+        if hoist == "split":
+            inc_inv = inc_invariants()
         an_ref[:] = jnp.zeros((TB, SP), an_ref.dtype)
         ai_ref[:] = jnp.zeros((TB, SP), ai_ref.dtype)
         # column 0 must hold read base L_act-1
@@ -266,6 +302,8 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB):
         # have read_len <= L_act)
 
         def bwd_body(t, _):
+            (inc_cost, inc_srci, clamped1, inc_src_i1, lpe_x1, lpnROv) = (
+                inc_invariants() if hoist == "none" else inc_inv)
             b = L_act - 1 - t
             obs_n, e = obs_current()  # read base b
             Wn = an_ref[:] + obs_n
@@ -346,7 +384,7 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB):
 def dp_pallas(H_pad, L_pad, numT,
               hap_len, read_len, b_mid, read_codes, hap_codes,
               eq, uq, lpe, lpn, lpeV, lpnV, scalars, interpret=False,
-              exact_ties=False, tb=None):
+              exact_ties=False, tb=None, hoist=None):
     """Pallas implementation of the DP passes; same contract as _dp_xla
     (lpeV/lpnV are recomputed in-kernel via lane rolls and ignored).
 
@@ -382,7 +420,10 @@ def dp_pallas(H_pad, L_pad, numT,
 
     num_tiles = Bp // TB
     scal = tuple(float(x) for x in np.asarray(scalars))
-    kernel = _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB)
+    if hoist is None:
+        hoist = HOIST_DEFAULT
+    kernel = _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
+                          hoist=hoist)
 
     def im(i):
         return (i, 0)
