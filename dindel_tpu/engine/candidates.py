@@ -12,7 +12,8 @@ from dataclasses import dataclass
 from typing import Dict, List, Tuple
 
 from ..align.nw import align_haplotype_to_ref
-from ..io.bam import BamReader, BamRecord, FPAIRED, FPROPER_PAIR, FDUP, FQCFAIL
+from ..io.bam import BamRecord, FPAIRED, FPROPER_PAIR, FDUP, FQCFAIL
+from ..io.bam_native import open_bam
 from ..io.fasta import FastaFile
 from ..variants import AlignedVariant, INS, DEL, Variant
 
@@ -109,7 +110,7 @@ def get_candidates(bam_path: str, output_prefix: str, fasta_path: str
     scan emitting candidates per target + library insert-size histograms.
     Returns (variants_file, libraries_file)."""
     fa = FastaFile(fasta_path)
-    bam = BamReader(bam_path)
+    bam = open_bam(bam_path)
     var_path = output_prefix + ".variants.txt"
     lib_path = output_prefix + ".libraries.txt"
     lib_insert: Dict[str, Dict[int, int]] = {}
@@ -150,7 +151,7 @@ def get_candidates_region(bam_paths: List[str], tid: str, start: int, end: int,
     fa = FastaFile(fasta_path)
     hmap: Dict[int, Dict[CIGARindel, int]] = {}
     for path in bam_paths:
-        bam = BamReader(path)
+        bam = open_bam(path)
         btid = bam.header.tid_of(tid)
         for rec in bam.fetch(btid, start, end):
             for cid in get_indels_from_cigar(rec):

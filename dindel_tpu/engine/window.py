@@ -18,7 +18,7 @@ from ..model import Haplotype, LibraryCollection, MLAlignment, Read, HPOS_LO, HP
 from ..out.glf import OutputData, make_glf_output
 from ..variants import AlignedCandidates, read_window_file
 from ..io.fasta import FastaFile
-from ..io.bam import BamReader
+from ..io.bam_native import open_bam
 from ..align.nw import align_haplotype_to_ref
 from ..hmm.reference import pair_hmm_single
 from ..infer.filterhaps import filter_haplotypes
@@ -90,7 +90,7 @@ class WindowEngine:
     def __init__(self, bam_paths: List[str], fasta_path: str,
                  params: Parameters, libraries: Optional[LibraryCollection] = None,
                  hmm_backend: str = "jax"):
-        self.bams = [BamReader(p) for p in bam_paths]
+        self.bams = [open_bam(p) for p in bam_paths]
         self.fasta = FastaFile(fasta_path)
         self.params = params
         self.libraries = libraries if libraries is not None else LibraryCollection()
