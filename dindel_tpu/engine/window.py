@@ -199,7 +199,16 @@ class WindowEngine:
     # ------------------------------------------------------------------
     def compute_likelihoods(self, haps: List[Haplotype], reads: List[Read],
                             left_pos: int) -> Tuple[List[List[MLAlignment]], List[int]]:
-        """DetInDel::computeLikelihoods (DInDel.cpp:1707-1739): liks[h][r]."""
+        """DetInDel::computeLikelihoods (DInDel.cpp:1707-1739): liks[h][r].
+
+        With --faster (params.slower False) this is
+        computeLikelihoodsFaster (DInDel.cpp:1793-1833): the sparse
+        k-mer-seeded HMM, no positive-ll/NaN guards, every read counted
+        on-hap."""
+        if not self.params.slower:
+            from ..hmm.faster import compute_likelihoods_faster
+            return compute_likelihoods_faster(haps, reads, left_pos,
+                                              self.params.obs_params)
         if self._batch_hmm is not None:
             liks = self._batch_hmm.compute(haps, reads, left_pos)
         else:

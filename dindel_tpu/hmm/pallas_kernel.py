@@ -73,7 +73,7 @@ def _roll_left(x, y):
 
 
 def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
-                 hoist="all"):
+                 hoist="all", emit_bt=True, unroll=1, MB=None, MN=None):
     """hoist controls where the loop-invariant candidate costs/indices are
     materialized (pure code motion; values and fold structure identical):
       - "all":   both passes' invariants computed in the prologue (round-1
@@ -92,6 +92,20 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
      logpNoInsgNoIns) = scal
     NCODE = ord("N")
     _fold = _fold_exact if exact_ties else _fold_fast
+    # Anchor-bounded pass trip counts (mirrors the reference, which runs
+    # the Dec recursion only up to each read's bMid and the Inc recursion
+    # only down to it, ObservationModelFB.cpp:1047-1062): alpha slices
+    # above max(b_mid) and beta slices below min(b_mid) are never consumed
+    # by _finish, so the loops stop there.  ~2x fewer DP steps when b_mid
+    # clusters mid-read (the common case: reads anchored inside the
+    # window).  bt rows outside these ranges are left unwritten in HBM;
+    # _finish discards them via its b<=b_mid / b>=b_mid selects.
+    if MB is None:
+        MB = L_act - 1
+    if MN is None:
+        MN = 0
+    MB = max(0, min(int(MB), L_act - 1))
+    MN = max(0, min(int(MN), L_act - 1))
 
     def kernel(hap_len_ref, read_len_ref, b_mid_ref, read_codes_ref,
                hap_codes_ref, eq_ref, uq_ref, lpe_ref, lpn_ref,
@@ -281,12 +295,14 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
             amid_ref[:, :SP] = jnp.where(sel, noins_v, amid_ref[:, :SP])
             amid_ref[:, SP:] = jnp.where(sel, ins_v, amid_ref[:, SP:])
 
-            bt_write(btf_hbm, b - 1, b - 1, noins_i, ins_i)
+            if emit_bt:
+                bt_write(btf_hbm, b - 1, b - 1, noins_i, ins_i)
             advance(L_pad - 1)  # rotate left by one lane
             return 0
 
-        lax.fori_loop(1, L_act, fwd_body, 0)
-        bt_drain(btf_hbm, L_act - 1)
+        lax.fori_loop(1, MB + 1, fwd_body, 0, unroll=unroll)
+        if emit_bt:
+            bt_drain(btf_hbm, MB)
 
         # ---------------- backward (Inc) pass ----------------
         if hoist == "split":
@@ -371,12 +387,14 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
             bmid_ref[:, :SP] = jnp.where(sel, noins_v, bmid_ref[:, :SP])
             bmid_ref[:, SP:] = jnp.where(sel, ins_v, bmid_ref[:, SP:])
 
-            bt_write(btb_hbm, t, b - 1, noins_i, ins_i)
+            if emit_bt:
+                bt_write(btb_hbm, t, b - 1, noins_i, ins_i)
             advance(1)  # rotate right by one lane
             return 0
 
-        lax.fori_loop(0, L_act - 1, bwd_body, 0)
-        bt_drain(btb_hbm, L_act - 1)
+        lax.fori_loop(0, L_act - 1 - MN, bwd_body, 0, unroll=unroll)
+        if emit_bt:
+            bt_drain(btb_hbm, L_act - 1 - MN)
 
     return kernel
 
@@ -384,7 +402,8 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
 def dp_pallas(H_pad, L_pad, numT,
               hap_len, read_len, b_mid, read_codes, hap_codes,
               eq, uq, lpe, lpn, lpeV, lpnV, scalars, interpret=False,
-              exact_ties=False, tb=None, hoist=None):
+              exact_ties=False, tb=None, hoist=None, emit_bt=True,
+              unroll=1, anchor_bounds=True):
     """Pallas implementation of the DP passes; same contract as _dp_xla
     (lpeV/lpnV are recomputed in-kernel via lane rolls and ignored).
 
@@ -401,6 +420,11 @@ def dp_pallas(H_pad, L_pad, numT,
     dtype = eq.dtype
     L_act = int(np.asarray(read_len).max()) if not isinstance(read_len, jax.core.Tracer) else L_pad
     L_act = max(2, min(int(L_act), L_pad))
+    MB = MN = None
+    if anchor_bounds and not isinstance(b_mid, jax.core.Tracer):
+        bm = np.asarray(b_mid)
+        if bm.size:
+            MB, MN = int(bm.max()), int(bm.min())
 
     Bp = ((B + TB - 1) // TB) * TB
     if Bp != B:
@@ -423,7 +447,8 @@ def dp_pallas(H_pad, L_pad, numT,
     if hoist is None:
         hoist = HOIST_DEFAULT
     kernel = _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
-                          hoist=hoist)
+                          hoist=hoist, emit_bt=emit_bt, unroll=unroll,
+                          MB=MB, MN=MN)
 
     def im(i):
         return (i, 0)

@@ -57,6 +57,15 @@ def ref_hmm_exe():
                               "/root/reference/ObservationModelFB.cpp"])
 
 
+def ref_faster_exe():
+    """Build (if possible) the reference sparse-HMM (--faster)
+    differential driver."""
+    if not Path("/root/reference/Faster.cpp").exists():
+        return None
+    return _build("ref_faster", [REFSHIM / "faster_driver.cpp",
+                                 "/root/reference/Faster.cpp"])
+
+
 def ref_nw_exe():
     """Build (if possible) the reference-SeqAn-NW differential driver."""
     if not Path("/root/reference/seqan_library").exists():
