@@ -28,8 +28,8 @@ from ..config import Parameters
 from ..model import Haplotype, MLAlignment, Read
 from ..out.glf import OutputData, make_glf_output
 from ..variants import AlignedCandidates, read_window_file
-from ..hmm.batch import (BatchedPairHMM, pack_pairs, run_packed, _round_up)
-from ..hmm.reference import _report_variants
+from ..hmm.batch import (BatchedPairHMM, decode_map_alignments, pack_pairs,
+                         run_packed, _round_up)
 from ..infer.filterhaps import filter_haplotypes
 from ..infer.diploid import diploid_glf, _WindowThrow
 from ..infer.pooled import estimate_hap_freqs_bayes_em
@@ -159,16 +159,23 @@ class BatchedWindowEngine(WindowEngine):
         return rows
 
     # ------------------------------------------------------------------
+    # in-flight slab pipeline depth: with depth 2, slab k+1 is packed and
+    # dispatched while the device still crunches slab k (JAX dispatch is
+    # async; only the fetch blocks).  Each in-flight slab holds its
+    # backpointer tensors on device (~3.2 GB at the default slab size),
+    # so the depth is deliberately small.
+    PIPELINE_DEPTH = 2
+
     def _compute_liks_batched(self, good: List[dict]):
-        """One (or few) device dispatches over all windows' pairs."""
+        """Slab pipeline: host packing/decoding overlapped with device
+        dispatches (double-buffered; SURVEY.md §2.4 'host-side
+        pipeline')."""
         p = self.params
         out = {}
-        slab: List[dict] = []
-        slab_pairs = 0
 
-        def run_slab(slab):
-            if not slab:
-                return
+        def stage_slab(slab):
+            """Host pack + async device dispatch; returns in-flight
+            state."""
             H_max = max(max(h.size() for h in e["haps"]) for e in slab)
             L_max = max(max(r.size() for r in e["reads"]) for e in slab)
             if self.dp_impl == "pallas":
@@ -188,64 +195,46 @@ class BatchedWindowEngine(WindowEngine):
             merged = {k: np.concatenate([pk[k] for pk in pks]) for k in keys}
             merged.update(H_pad=H_pad, L_pad=L_pad, numT=pks[0]["numT"],
                           scalars=pks[0]["scalars"], nh=0, nr=0)
-            res = run_packed(merged, self.dp_impl)
+            res = run_packed(merged, self.dp_impl)   # async on device
+            return slab, pks, res
+
+        def finish_slab(staged):
+            """Blocking fetch + vectorized decode."""
+            slab, pks, res = staged
             (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state) = [
                 np.asarray(x) for x in res]
             off = 0
             for e, pk in zip(slab, pks):
                 B = pk["hap_len"].shape[0]
-                out[e["index"]] = self._extract(e, slice(off, off + B),
-                                                ll, off_hap, off_hap_hmq,
-                                                ll_off, ll_on, map_state,
-                                                H_pad)
+                sl = slice(off, off + B)
+                out[e["index"]] = decode_map_alignments(
+                    e["haps"], e["reads"], pk, ll[sl], off_hap[sl],
+                    off_hap_hmq[sl], ll_off[sl], ll_on[sl], map_state[sl],
+                    p.obs_params)
                 off += B
 
+        slabs: List[List[dict]] = []
+        slab: List[dict] = []
+        slab_pairs = 0
         for e in good:
             n = len(e["haps"]) * len(e["reads"])
             if slab and slab_pairs + n > self.max_pairs_per_slab:
-                run_slab(slab)
+                slabs.append(slab)
                 slab = []
                 slab_pairs = 0
             slab.append(e)
             slab_pairs += n
-        run_slab(slab)
-        return out
+        if slab:
+            slabs.append(slab)
 
-    # ------------------------------------------------------------------
-    def _extract(self, e, sl, ll, off_hap, off_hap_hmq, ll_off, ll_on,
-                 map_state, H_pad):
-        """Fixed-layout outputs -> per-pair MLAlignment (same as
-        BatchedPairHMM.compute tail)."""
-        p = self.params
-        haps = e["haps"]
-        reads = e["reads"]
-        nr = len(reads)
-        base = sl.start
-        S_half_f = H_pad + 2
-        liks: List[List[MLAlignment]] = []
-        for hi, hap in enumerate(haps):
-            row = []
-            Hh = hap.size()
-            numS = Hh + 2
-            ROh = Hh + 1
-            for ri, r in enumerate(reads):
-                i = base + hi * nr + ri
-                L = r.size()
-                ms_fixed = map_state[i, :L]
-                ins = ms_fixed >= S_half_f
-                x = ms_fixed % S_half_f
-                x = np.where(x == H_pad + 1, ROh, x)
-                ms = np.where(ins, numS + x, x).astype(np.int32)
-                ml = MLAlignment()
-                ml.ll = float(ll[i])
-                ml.off_hap = bool(off_hap[i])
-                ml.off_hap_hmq = bool(off_hap_hmq[i])
-                ml.ll_off = float(ll_off[i])
-                ml.ll_on = float(ll_on[i])
-                _report_variants(ml, ms, hap, r, p.obs_params, numS, ROh)
-                row.append(ml)
-            liks.append(row)
-        return liks
+        in_flight: List[tuple] = []
+        for s in slabs:
+            if len(in_flight) >= self.PIPELINE_DEPTH:
+                finish_slab(in_flight.pop(0))
+            in_flight.append(stage_slab(s))
+        for st in in_flight:
+            finish_slab(st)
+        return out
 
     # ------------------------------------------------------------------
     def _call_window(self, e, liks, glf_data) -> List[dict]:

@@ -19,7 +19,8 @@ this module must match bit-for-bit in float64). Design notes:
   scan over states and is emulated with lax.scan.
 - Backpointers for both directions are stored (L x B x S int16) and the
   MAP path is reconstructed with two short scans; per-read variant events
-  are extracted on host (hmm/reference._report_variants) for parity.
+  are extracted on host by the vectorized decode_map_alignments (parity
+  with hmm/reference._report_variants, tests/test_report_fast.py).
 
 The DP recursions have two interchangeable implementations: pure-XLA scans
 (_dp_xla — runs anywhere, float64 bit-parity on CPU) and a fused Pallas
@@ -40,7 +41,7 @@ from jax import lax
 
 from ..config import ObservationModelParameters
 from ..model import Haplotype, MLAlignment, Read
-from .reference import (EPS, TIE, _Trans, _report_variants, compute_b_mid,
+from .reference import (EPS, TIE, _Trans, compute_b_mid,
                         compute_b_mid_prior, hp_log_prob_error)
 
 NEGBIG = -1.0e30
@@ -392,11 +393,11 @@ def run_packed(pk: dict, dp_impl: str = "xla", exact_ties: bool = None):
                    btf, btb, exact_ties=exact_ties)
 
 
-def pack_pairs(haps: List[Haplotype], reads: List[Read], hap_start: int,
-               p: ObservationModelParameters, dtype=np.float64,
-               bucket: int = 16, H_pad: int = None, L_pad: int = None) -> dict:
-    """Pack a window's (haps x reads) pairs into the fixed-layout arrays
-    consumed by the DP kernels. Returns a dict incl. static dims."""
+def _pack_pairs_ref(haps: List[Haplotype], reads: List[Read], hap_start: int,
+                    p: ObservationModelParameters, dtype=np.float64,
+                    bucket: int = 16, H_pad: int = None, L_pad: int = None) -> dict:
+    """Per-pair (slow) packing loop — retained as the differential oracle
+    for the vectorized pack_pairs (tests/test_pack_vectorized.py)."""
     nh, nr = len(haps), len(reads)
     H_max = max(h.size() for h in haps)
     L_max = max(r.size() for r in reads)
@@ -483,6 +484,171 @@ def pack_pairs(haps: List[Haplotype], reads: List[Read], hap_start: int,
                 prior_rmq=prior_rmq, prior_hmq=prior_hmq, scalars=scalars)
 
 
+def pack_pairs(haps: List[Haplotype], reads: List[Read], hap_start: int,
+               p: ObservationModelParameters, dtype=np.float64,
+               bucket: int = 16, H_pad: int = None, L_pad: int = None) -> dict:
+    """Pack a window's (haps x reads) pairs into the fixed-layout arrays
+    consumed by the DP kernels.  Vectorized (per-read and per-hap arrays
+    computed once, broadcast over the cross product): ~50x faster than the
+    per-pair loop (_pack_pairs_ref), byte-identical outputs
+    (tests/test_pack_vectorized.py).  Host packing is on the critical path
+    now that device time is ~10 ms per slab (PERF_NOTES.md)."""
+    nh, nr = len(haps), len(reads)
+    H_max = max(h.size() for h in haps)
+    L_max = max(r.size() for r in reads)
+    if H_pad is None:
+        H_pad = _round_up(H_max, bucket)
+    if L_pad is None:
+        L_pad = _round_up(max(L_max, 2), bucket)
+    numT = p.max_length_del + 2
+    S_half = H_pad + 2
+    S = 2 * S_half
+    B = nh * nr
+    dt = dtype
+
+    # ---- per-read arrays (computed once, tiled over haps) ----
+    read_len_r = np.fromiter((r.size() for r in reads), np.int32, nr)
+    read_codes_r = np.zeros((nr, L_pad), np.uint8)
+    qual_r = np.zeros((nr, L_pad), np.float64)
+    for ri, r in enumerate(reads):
+        L = read_len_r[ri]
+        read_codes_r[ri, :L] = np.frombuffer(r.seq.encode(), np.uint8)
+        qual_r[ri, :L] = r.qual
+    col = np.arange(L_pad)[None, :]
+    in_read = col < read_len_r[:, None]
+    pr = qual_r * (1.0 - p.p_mut)
+    eq_r = np.where(in_read, np.log(0.25 + 0.75 * pr), 0.0).astype(dt)
+    uq_r = np.where(in_read, np.log(0.75 + 1e-10 - 0.75 * pr), 0.0).astype(dt)
+    map_qual_r = np.fromiter((r.map_qual for r in reads), np.float64, nr)
+    unmapped_r = np.fromiter((r.is_unmapped for r in reads), bool, nr)
+    psf_r = np.fromiter((read.pos_stat_first for read in reads),
+                        np.float64, nr)
+
+    # vectorized compute_b_mid (ObservationModelFB.cpp:50-99): truncation
+    # toward zero matches C++ int casts for the non-negative coordinates
+    def b_mid_vec(Hh: int) -> np.ndarray:
+        m = psf_r.astype(np.int64)
+        read_end = m + read_len_r - 1
+        hap_end = hap_start + Hh
+        half = read_len_r // 2
+        ol_start = np.maximum(hap_start, m)
+        ol_end = np.where(hap_end > read_end, read_end, hap_end)
+        mid = (ol_end - ol_start) // 2 + ol_start
+        bm = np.where(unmapped_r | (m > hap_end) | (read_end < hap_start),
+                      half, mid - m)
+        if p.b_mid != -1:
+            bm = np.full_like(bm, p.b_mid)
+        return np.clip(bm, 0, read_len_r - 1).astype(np.int32)
+
+    # vectorized computeBMidPrior (ObservationModelFB.cpp:268-305) over
+    # reads, for one haplotype length Hh.  pinsert handling (the
+    # insert-size positional prior for unmapped-mate realignment) is a
+    # per-read fallback — rare, library mode only.
+    tr_dummy = _Trans(p, haps[0].seq)
+    log_ins1 = tr_dummy.logpInsgNoIns
+    log_ins0 = math.log(1.0 - math.exp(tr_dummy.logpInsgNoIns))
+
+    def prior_vec(Hh: int, bm: np.ndarray, map_qual: np.ndarray
+                  ) -> np.ndarray:
+        mq = 1.0 - map_qual
+        capped = -10.0 * np.log10(mq) > p.map_qual_threshold
+        mq = np.where(capped, 10.0 ** (-p.map_qual_threshold / 10.0), mq)
+        log_off = np.log(mq)[:, None]
+        log_on = np.log(1.0 - mq)[:, None]
+        numS = Hh + 2
+        out = np.zeros((nr, 2 * numS))
+        need_pinsert = (p.map_unmapped_reads and
+                        any(r.is_paired and not r.mate_is_unmapped
+                            and r.mate_len != -1 and r.same_tid_as_mate
+                            for r in reads))
+        pins = np.zeros((nr, numS))
+        if need_pinsert:
+            x = np.arange(1, Hh + 1)
+            for ri, r in enumerate(reads):
+                if (r.is_paired and not r.mate_is_unmapped
+                        and r.mate_len != -1 and r.same_tid_as_mate):
+                    lib = r.get_library()
+                    if r.mate_is_reverse:
+                        d = np.abs(hap_start + x - bm[ri]
+                                   - (r.mate_pos + r.mate_len))
+                    else:
+                        d = np.abs(hap_start + x + r.size() - bm[ri]
+                                   - r.mate_pos)
+                    pins[ri, 1:Hh + 1] = np.log(lib.get_prob_vec(d))
+                    pins[ri, 0] = math.log(lib.ninetyfifth_pct_prob)
+        for i, log_ins in enumerate((log_ins0, log_ins1)):
+            blk = out[:, i * numS:(i + 1) * numS]
+            blk[:, 0] = log_off[:, 0] + log_ins + pins[:, 0]
+            blk[:, 1:Hh + 1] = pins[:, 1:Hh + 1] + log_on + log_ins
+            blk[:, Hh + 1] = -100.0
+        return out
+
+    # ---- per-hap arrays, broadcast into the (hap-major) pair blocks ----
+    hap_len = np.zeros(B, np.int32)
+    read_len = np.tile(read_len_r, nh)
+    b_mid = np.zeros(B, np.int32)
+    read_codes = np.tile(read_codes_r, (nh, 1))
+    hap_codes = np.zeros((B, H_pad), np.uint8)
+    eq = np.tile(eq_r, (nh, 1))
+    uq = np.tile(uq_r, (nh, 1))
+    lpe = np.full((B, S_half), math.log(1e-5), dt)
+    lpn = np.full((B, S_half), math.log(1 - 1e-5), dt)
+    lpeV = np.zeros((B, S_half + numT), dt)
+    lpnV = np.zeros((B, S_half + numT), dt)
+    prior_rmq = np.full((B, S), NEGBIG, dt)
+    prior_hmq = np.full((B, S), NEGBIG, dt)
+    hmq_r = np.full(nr, 1.0 - 1e-10)
+
+    for hi, hap in enumerate(haps):
+        Hh = hap.size()
+        if p.max_length_del > Hh:
+            raise ValueError("hapSize error.")
+        sl = slice(hi * nr, (hi + 1) * nr)
+        hap_len[sl] = Hh
+        hseq = np.frombuffer(hap.seq.encode(), np.uint8)
+        hap_codes[sl, :Hh] = hseq[None, :]
+        e_, n_ = hp_log_prob_error(hap.seq)
+        lpe[sl, :Hh + 2] = np.asarray(e_, dt)[None, :]
+        lpn[sl, :Hh + 2] = np.asarray(n_, dt)[None, :]
+        ROi = Hh + 1
+        if ROi != H_pad + 1:
+            lpe[sl, H_pad + 1] = lpe[hi * nr, ROi]
+            lpn[sl, H_pad + 1] = lpn[hi * nr, ROi]
+        # V-arrays: per-hap constant rows
+        core_e = np.full(S_half + numT, e_[ROi])
+        core_n = np.full(S_half + numT, n_[ROi])
+        core_e[:Hh + 1] = e_[:Hh + 1]
+        core_n[:Hh + 1] = n_[:Hh + 1]
+        lpeV[sl] = core_e[None, :]
+        lpnV[sl] = core_n[None, :]
+        bm = b_mid_vec(Hh)
+        b_mid[sl] = bm
+        pr_r = prior_vec(Hh, bm, map_qual_r)
+        pr_h = prior_vec(Hh, bm, hmq_r)
+        # _expand_prior, vectorized: per-half [0..Hh] block + RO slot
+        numS = Hh + 2
+        for half in range(2):
+            prior_rmq[sl, half * S_half:half * S_half + Hh + 1] = (
+                pr_r[:, half * numS:half * numS + Hh + 1])
+            prior_rmq[sl, half * S_half + H_pad + 1] = (
+                pr_r[:, half * numS + Hh + 1])
+            prior_hmq[sl, half * S_half:half * S_half + Hh + 1] = (
+                pr_h[:, half * numS:half * numS + Hh + 1])
+            prior_hmq[sl, half * S_half + H_pad + 1] = (
+                pr_h[:, half * numS + Hh + 1])
+
+    scalars = np.array([math.log(1.0 - p.p_first_g_lo),
+                        math.log(p.p_first_g_lo),
+                        -0.5,
+                        math.log(1.0 - math.exp(-0.5)),
+                        math.log(1.0 - p.p_error)], dt)
+    return dict(H_pad=H_pad, L_pad=L_pad, numT=numT, nh=nh, nr=nr,
+                hap_len=hap_len, read_len=read_len, b_mid=b_mid,
+                read_codes=read_codes, hap_codes=hap_codes, eq=eq, uq=uq,
+                lpe=lpe, lpn=lpn, lpeV=lpeV, lpnV=lpnV,
+                prior_rmq=prior_rmq, prior_hmq=prior_hmq, scalars=scalars)
+
+
 class BatchedPairHMM:
     """Window-level driver: packs haps/reads, runs the kernels (bucketed
     by padded shapes), converts back to MLAlignment."""
@@ -522,31 +688,184 @@ class BatchedPairHMM:
         ll_on = np.asarray(ll_on)
         map_state = np.asarray(map_state)
 
-        liks: List[List[MLAlignment]] = []
-        for hi, hap in enumerate(haps):
-            row = []
-            Hh = hap.size()
-            numS = Hh + 2
-            ROh = Hh + 1
-            S_half_f = H_pad + 2
-            for ri, r in enumerate(reads):
-                i = hi * nr + ri
-                L = r.size()
-                ms_fixed = map_state[i, :L]
-                ins = ms_fixed >= S_half_f
-                x = ms_fixed % S_half_f
-                x = np.where(x == H_pad + 1, ROh, x)
-                ms = np.where(ins, numS + x, x).astype(np.int32)
-                ml = MLAlignment()
-                ml.ll = float(ll[i])
-                ml.off_hap = bool(off_hap[i])
-                ml.off_hap_hmq = bool(off_hap_hmq[i])
-                ml.ll_off = float(ll_off[i])
-                ml.ll_on = float(ll_on[i])
-                _report_variants(ml, ms, hap, r, p, numS, ROh)
-                row.append(ml)
-            liks.append(row)
-        return liks
+        return decode_map_alignments(haps, reads, pk, ll, off_hap,
+                                     off_hap_hmq, ll_off, ll_on, map_state,
+                                     p)
+
+
+def decode_map_alignments(haps: List[Haplotype], reads: List[Read],
+                          pk: dict, ll, off_hap, off_hap_hmq, ll_off,
+                          ll_on, map_state,
+                          p: ObservationModelParameters
+                          ) -> List[List[MLAlignment]]:
+    """Whole-batch vectorized MAP-path decode: fixed-layout device
+    outputs -> per-pair MLAlignments.
+
+    _report_variants (hmm/reference.py) is a per-base Python loop — the
+    end-to-end bottleneck once the device side is ~10 ms/slab
+    (PERF_NOTES.md).  Here hpos, first/last base, SNPs, align strings and
+    mismatch statistics are computed with batch array ops; reads whose
+    MAP path carries indel events get those events patched on from the
+    precomputed event masks.  Field-for-field identical to the loop
+    (tests/test_report_fast.py).  `pk` supplies H_pad/L_pad and the
+    packed hap_len/read_len/hap_codes/read_codes; the output arrays are
+    this window block's rows (hap-major)."""
+    from ..variants import AlignedVariant
+    from ..model import HPOS_INS, HPOS_LO, HPOS_RO
+
+    nh, nr = len(haps), len(reads)
+    H_pad = pk["H_pad"]
+    B = nh * nr
+    L_pad = pk["L_pad"]
+    S_half_f = H_pad + 2
+    hap_len = pk["hap_len"]
+    read_len = pk["read_len"]
+    ins_all = map_state >= S_half_f
+    x_all = map_state % S_half_f
+    ROh_all = (hap_len + 1)[:, None]
+    xs = np.where(x_all == H_pad + 1, ROh_all, x_all)
+    col = np.arange(L_pad)[None, :]
+    validc = col < read_len[:, None]
+    on = (xs >= 1) & (xs <= hap_len[:, None]) & validc
+    ins_ev = ins_all & on
+    noins_on = on & ~ins_all
+    del_ev = (noins_on[:, :-1] & ~ins_all[:, 1:]
+              & (col[:, 1:] < read_len[:, None])
+              & (xs[:, 1:] - xs[:, :-1] > 1))
+    has_event = ins_ev.any(axis=1) | del_ev.any(axis=1)
+
+    hpos_all = np.where(noins_on, xs - 1,
+                        np.where(xs == 0, HPOS_LO, HPOS_RO))
+    big = np.iinfo(np.int32).max
+    fb_all = np.where(noins_on, xs - 1, big).min(axis=1)
+    fb_all = np.where(fb_all == big, -1, fb_all)
+    lb_all = np.where(noins_on, xs - 1, -1).max(axis=1)
+
+    qual_b = np.zeros((nr, L_pad))
+    for ri, r in enumerate(reads):
+        qual_b[ri, :r.size()] = r.qual
+    qual_b = np.tile(qual_b, (nh, 1))
+    bqt = noins_on & (qual_b > p.check_base_qual_threshold)
+    hc = np.take_along_axis(pk["hap_codes"],
+                            np.clip(xs - 1, 0, H_pad - 1), axis=1)
+    mism = noins_on & (pk["read_codes"] != hc)
+    n_bqt_all = bqt.sum(axis=1)
+    n_mm_bqt_all = (mism & bqt).sum(axis=1)
+    n_mm_left_all = (mism & (col < 6)).sum(axis=1)
+    n_mm_right_all = (mism & (col > read_len[:, None] - 6)).sum(axis=1)
+    num_mm_all = (mism & (qual_b > 0.95)).sum(axis=1)
+    # sequential (loop-order) float accumulation for bit-parity with
+    # the per-base loop: column-at-a-time adds, masked terms as +0.0
+    with np.errstate(divide="ignore"):
+        log10q = np.where(bqt, np.log10(np.maximum(1.0 - qual_b, 1e-300)),
+                          0.0)
+    mlogbq_all = np.zeros(B)
+    for b in range(L_pad):
+        mlogbq_all = mlogbq_all + log10q[:, b]
+    any_mism = mism.any(axis=1)
+
+    liks: List[List[MLAlignment]] = []
+    for hi, hap in enumerate(haps):
+        row = []
+        Hh = hap.size()
+        numS = Hh + 2
+        ROh = Hh + 1
+        align_ref = "R" * Hh
+        hap_indels = list(hap.indels.items())
+        hap_snps = list(hap.snps.items())
+        for ri, r in enumerate(reads):
+            i = hi * nr + ri
+            L = r.size()
+            ml = MLAlignment()
+            ml.ll = float(ll[i])
+            ml.off_hap = bool(off_hap[i])
+            ml.off_hap_hmq = bool(off_hap_hmq[i])
+            ml.ll_off = float(ll_off[i])
+            ml.ll_on = float(ll_on[i])
+            ml.hpos = hpos_all[i, :L].tolist()
+            ml.first_base = int(fb_all[i])
+            ml.last_base = int(lb_all[i])
+            ml.n_bqt = int(n_bqt_all[i])
+            ml.m_log_bq = float(mlogbq_all[i])
+            ml.n_mm_bqt = int(n_mm_bqt_all[i])
+            ml.n_mm_left = int(n_mm_left_all[i])
+            ml.n_mm_right = int(n_mm_right_all[i])
+            ml.num_mismatch = int(num_mm_all[i])
+            align = None
+            if any_mism[i]:
+                align = list(align_ref)
+                for b in np.nonzero(mism[i, :L])[0]:
+                    spos = int(xs[i, b]) - 1
+                    ml.snps[spos] = AlignedVariant(
+                        hap.seq[spos] + "=>" + r.seq[b],
+                        start_hap=spos, end_hap=spos,
+                        start_read=int(b), end_read=int(b))
+                    align[spos] = r.seq[b]
+            if has_event[i]:
+                # patch the indel events onto the vectorized decode
+                # (same event rules as _report_variants; validated
+                # field-for-field in tests/test_report_fast.py)
+                if align is None:
+                    align = list(align_ref)
+                events = []
+                for b in np.nonzero(del_ev[i, :max(L - 1, 0)])[0]:
+                    events.append((int(b), "D"))
+                ins_row = ins_all[i, :L]
+                if ins_row.any():
+                    # maximal ins runs; the loop enters a run at its
+                    # first base with 0 < x <= H and consumes to the
+                    # run end (earlier bases keep their LO/RO codes)
+                    d = np.diff(ins_row.astype(np.int8))
+                    starts = list(np.nonzero(d == 1)[0] + 1)
+                    ends = list(np.nonzero(d == -1)[0])
+                    if ins_row[0]:
+                        starts.insert(0, 0)
+                    if ins_row[L - 1]:
+                        ends.append(L - 1)
+                    for a, e in zip(starts, ends):
+                        entry = -1
+                        for b in range(a, e + 1):
+                            xv = int(xs[i, b])
+                            if 0 < xv <= Hh:
+                                entry = b
+                                break
+                        if entry >= 0:
+                            events.append((entry, "I", e))
+                events.sort(key=lambda t: t[0])
+                for ev in events:
+                    if ev[1] == "D":
+                        b = ev[0]
+                        s = int(xs[i, b])
+                        ns = int(xs[i, b + 1])
+                        pos = s
+                        ln = ns - s - 1
+                        for y in range(pos, pos + ln):
+                            align[y] = "D"
+                        ml.indels[pos] = AlignedVariant(
+                            "-" + hap.seq[pos:pos + ln],
+                            start_hap=pos, end_hap=pos + ln - 1,
+                            start_read=b, end_read=b + 1)
+                        ml.num_indels += 1
+                    else:
+                        entry, _, e = ev
+                        pos = int(xs[i, entry])
+                        for b in range(entry, e + 1):
+                            ml.hpos[b] = HPOS_INS
+                        ml.indels[pos] = AlignedVariant(
+                            "+" + r.seq[entry:e + 1],
+                            start_hap=pos, end_hap=pos,
+                            start_read=entry, end_read=e)
+                        ml.num_indels += 1
+            ml.align = "".join(align) if align is not None else align_ref
+            for pos_, av in hap_indels:
+                ml.hap_indel_covered[pos_] = av.is_covered(
+                    p.pad_cover, ml.first_base, ml.last_base)
+            for pos_, av in hap_snps:
+                ml.hap_snp_covered[pos_] = av.is_covered(
+                    p.pad_cover, ml.first_base, ml.last_base)
+            row.append(ml)
+        liks.append(row)
+    return liks
 
 
 def _expand_prior(pr: np.ndarray, Hh: int, H_pad: int) -> np.ndarray:

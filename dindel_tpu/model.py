@@ -147,6 +147,11 @@ class Library:
             x = self.maxins - 1
         return float(self.probs[x])
 
+    def get_prob_vec(self, x: np.ndarray) -> np.ndarray:
+        """Vectorized get_prob (same clamping)."""
+        xi = np.minimum(np.abs(x.astype(np.int64)), self.maxins - 1)
+        return self.probs[xi]
+
     def get_max_insert_size(self) -> int:
         return self.maxins
 

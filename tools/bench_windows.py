@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""End-to-end realignment throughput: windows/sec through the full
+BatchedWindowEngine pipeline (BAM fetch -> hap gen -> NW -> pair-HMM on
+device -> diploid calling -> GLF) on a synthetic dataset.
+
+Usage: python tools/bench_windows.py [n_variants] [coverage]
+Runs on whatever device JAX_PLATFORMS selects (TPU by default under
+axon; Pallas DP path on TPU, XLA f32 elsewhere).  This is the
+BASELINE.json "windows/sec" metric at 1 chip; per-stage timings from
+RunStats show where the time goes (the device is ~10 ms/slab — the
+pipeline is host-bound; see PERF_NOTES.md).
+"""
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+from dindel_tpu.config import Parameters
+from dindel_tpu.engine.candidates import get_candidates
+from dindel_tpu.engine.batched import BatchedWindowEngine
+from dindel_tpu.pipeline.windows import make_windows
+from dindel_tpu.sim import PlantedVariant, SimConfig, simulate
+
+
+def main():
+    n_var = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+    coverage = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    rng = np.random.RandomState(7)
+    spacing = 900
+    ref_len = (n_var + 2) * spacing
+    variants = []
+    for i in range(n_var):
+        pos = (i + 1) * spacing
+        kind = rng.randint(3)
+        if kind == 0:
+            var = "-" + "ACGT"[rng.randint(4)] * rng.randint(1, 4)
+        elif kind == 1:
+            var = "+" + "".join("ACGT"[rng.randint(4)]
+                                for _ in range(rng.randint(1, 4)))
+        else:
+            var = "-AC"
+        variants.append(PlantedVariant(pos=pos, var=var,
+                                       genotype=1 + rng.randint(2)))
+    d = tempfile.mkdtemp(prefix="benchwin")
+    cfg = SimConfig(ref_len=ref_len, coverage=coverage, read_len=100)
+    t0 = time.perf_counter()
+    fa, bam = simulate(str(Path(d) / "sim"), variants, cfg, seed=3)
+    print(f"simulated {ref_len}bp x{coverage} in "
+          f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    var_file, _ = get_candidates(bam, str(Path(d) / "cand"), fa)
+    win_files = make_windows(var_file, str(Path(d) / "win"))
+    on_tpu = jax.devices()[0].platform != "cpu"
+
+    params = Parameters()
+    params.do_diploid = True
+    params.file_name = str(Path(d) / "out")
+    eng = BatchedWindowEngine(
+        [bam], fa, params, batch_windows=64,
+        max_pairs_per_slab=8192,
+        dp_impl="pallas" if on_tpu else "xla",
+        dtype=np.float32)
+    t0 = time.perf_counter()
+    rows = []
+    for wf in win_files:
+        rows.extend(eng.detect_indels(wf, str(Path(d) / "out.glf.txt")))
+    dt = time.perf_counter() - t0
+    s = eng.stats.summary()
+    eng.close()
+    print(json.dumps({
+        "metric": "windows_per_sec",
+        "value": s["windows_ok"] / dt,
+        "unit": "windows/s",
+        "windows_ok": s["windows_ok"],
+        "windows_error": s["windows_error"],
+        "calls": len(rows),
+        "wall_s": round(dt, 3),
+        "stage_seconds": {k: round(v, 3)
+                          for k, v in s.get("stage_seconds", {}).items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()
