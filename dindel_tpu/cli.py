@@ -77,6 +77,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--showHapAlignments", action="store_true",
                     help="show for each haplotype which reads map to it")
     ap.add_argument("--showReads", action="store_true", help="show reads")
+    ap.add_argument("--engine", default="streaming",
+                    choices=["streaming", "batched"],
+                    help="indels engine: 'batched' pipelines many windows "
+                         "per device dispatch (TPU production path); "
+                         "'streaming' is the per-window reference path")
+    ap.add_argument("--batchWindows", type=int, default=64,
+                    help="windows staged per flush (batched engine)")
+    ap.add_argument("--maxPairsPerSlab", type=int, default=8192,
+                    help="max (hap,read) pairs per device slab "
+                         "(bounds backpointer HBM; batched engine)")
     ap.add_argument("--inferenceMethod", default="empirical",
                     help="inference method (only 'empirical' does anything, "
                          "as in the reference, DInDel.cpp:1365)")
@@ -164,7 +174,6 @@ def main(argv=None) -> int:
         return 0
 
     if analysis == "indels":
-        from .engine.window import WindowEngine
         params = params_from_args(args)
         bam_paths = ([args.bamFile] if args.bamFile
                      else [l.split()[0] for l in open(args.bamFiles)])
@@ -173,8 +182,26 @@ def main(argv=None) -> int:
             params.map_unmapped_reads = True
             params.obs_params.map_unmapped_reads = True
             libraries.add_from_file(args.libFile)
-        eng = WindowEngine(bam_paths, args.ref, params, libraries,
-                           hmm_backend=args.hmmBackend)
+        # The batched engine pipelines host packing/decoding with device
+        # slabs (the TPU production path); the streaming engine is the
+        # per-window reference path and the only one supporting realigned
+        # -BAM output.
+        use_batched = (args.engine == "batched"
+                       and not args.outputRealignedBAM
+                       and params.slower)
+        if use_batched:
+            import numpy as np
+            from .engine.batched import BatchedWindowEngine
+            dp_impl = "pallas" if args.hmmBackend == "pallas" else "xla"
+            eng = BatchedWindowEngine(
+                bam_paths, args.ref, params, libraries,
+                batch_windows=args.batchWindows,
+                max_pairs_per_slab=args.maxPairsPerSlab,
+                dp_impl=dp_impl, dtype=np.float32)
+        else:
+            from .engine.window import WindowEngine
+            eng = WindowEngine(bam_paths, args.ref, params, libraries,
+                               hmm_backend=args.hmmBackend)
         eng.detect_indels(args.varFile)
         eng.close()
         return 0

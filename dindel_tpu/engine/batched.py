@@ -28,8 +28,10 @@ from ..config import Parameters
 from ..model import Haplotype, MLAlignment, Read
 from ..out.glf import OutputData, make_glf_output
 from ..variants import AlignedCandidates, read_window_file
-from ..hmm.batch import (BatchedPairHMM, decode_map_alignments, pack_pairs,
-                         run_packed, _round_up)
+from ..hmm.batch import (BatchedPairHMM, decode_map_alignments,
+                         merge_compact, pack_pairs, pack_pairs_compact,
+                         pad_compact, run_packed, run_packed_compact,
+                         _round_up)
 from ..infer.filterhaps import filter_haplotypes
 from ..infer.diploid import diploid_glf, _WindowThrow
 from ..infer.pooled import estimate_hap_freqs_bayes_em
@@ -175,7 +177,10 @@ class BatchedWindowEngine(WindowEngine):
 
         def stage_slab(slab):
             """Host pack + async device dispatch; returns in-flight
-            state."""
+            state.  Uses the compact per-read/per-hap table format
+            (~20x smaller device upload; see pack_pairs_compact) unless a
+            window needs the insert-size positional prior, in which case
+            the whole slab ships dense."""
             H_max = max(max(h.size() for h in e["haps"]) for e in slab)
             L_max = max(max(r.size() for r in e["reads"]) for e in slab)
             if self.dp_impl == "pallas":
@@ -184,29 +189,54 @@ class BatchedWindowEngine(WindowEngine):
             else:
                 H_pad = _round_up(H_max, 16)
                 L_pad = _round_up(max(L_max, 2), 16)
-            pks = []
-            for e in slab:
-                pks.append(pack_pairs(e["haps"], e["reads"], e["left_pos"],
+            with self.stats.stage("slab_pack"):
+                pks = []
+                for e in slab:
+                    pks.append(pack_pairs_compact(
+                        e["haps"], e["reads"], e["left_pos"], p.obs_params,
+                        self.np_dtype, H_pad=H_pad, L_pad=L_pad))
+                if any(pk is None for pk in pks):
+                    pks = [pack_pairs(e["haps"], e["reads"], e["left_pos"],
                                       p.obs_params, self.np_dtype,
-                                      H_pad=H_pad, L_pad=L_pad))
-            keys = ["hap_len", "read_len", "b_mid", "read_codes", "hap_codes",
-                    "eq", "uq", "lpe", "lpn", "lpeV", "lpnV",
-                    "prior_rmq", "prior_hmq"]
-            merged = {k: np.concatenate([pk[k] for pk in pks]) for k in keys}
-            merged.update(H_pad=H_pad, L_pad=L_pad, numT=pks[0]["numT"],
-                          scalars=pks[0]["scalars"], nh=0, nr=0)
-            res = run_packed(merged, self.dp_impl)   # async on device
-            return slab, pks, res
+                                      H_pad=H_pad, L_pad=L_pad)
+                           for e in slab]
+                    compact = False
+                else:
+                    compact = True
+            with self.stats.stage("slab_dispatch"):
+                if compact:
+                    merged = pad_compact(merge_compact(pks))
+                    res = run_packed_compact(merged, self.dp_impl)
+                else:
+                    keys = ["hap_len", "read_len", "b_mid", "read_codes",
+                            "hap_codes", "eq", "uq", "lpe", "lpn", "lpeV",
+                            "lpnV", "prior_rmq", "prior_hmq"]
+                    merged = {k: np.concatenate([pk[k] for pk in pks])
+                              for k in keys}
+                    merged.update(H_pad=H_pad, L_pad=L_pad,
+                                  numT=pks[0]["numT"],
+                                  scalars=pks[0]["scalars"], nh=0, nr=0)
+                    res = run_packed(merged, self.dp_impl)  # async
+            return slab, pks, compact, res
 
         def finish_slab(staged):
             """Blocking fetch + vectorized decode."""
-            slab, pks, res = staged
-            (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state) = [
-                np.asarray(x) for x in res]
+            slab, pks, compact, res = staged
+            with self.stats.stage("slab_fetch"):
+                (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state) = [
+                    np.asarray(x) for x in res]
             off = 0
-            for e, pk in zip(slab, pks):
+            with self.stats.stage("slab_decode"):
+              for e, pk in zip(slab, pks):
                 B = pk["hap_len"].shape[0]
                 sl = slice(off, off + B)
+                if compact:
+                    # dense per-pair code view for the decode (host gather)
+                    pk = dict(H_pad=pk["H_pad"], L_pad=pk["L_pad"],
+                              hap_len=pk["hap_len"],
+                              read_len=pk["read_len"],
+                              hap_codes=pk["hap_codes_h"][pk["hap_idx"]],
+                              read_codes=pk["read_codes_r"][pk["read_idx"]])
                 out[e["index"]] = decode_map_alignments(
                     e["haps"], e["reads"], pk, ll[sl], off_hap[sl],
                     off_hap_hmq[sl], ll_off[sl], ll_on[sl], map_state[sl],

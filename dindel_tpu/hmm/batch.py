@@ -385,12 +385,349 @@ def run_packed(pk: dict, dp_impl: str = "xla", exact_ties: bool = None):
         jnp.asarray(pk["hap_codes"]), jnp.asarray(pk["eq"]),
         jnp.asarray(pk["uq"]), jnp.asarray(pk["lpe"]), jnp.asarray(pk["lpn"]),
         jnp.asarray(pk["lpeV"]), jnp.asarray(pk["lpnV"]),
-        jnp.asarray(pk["scalars"]))
+        pk["scalars"])
     obs_mid = jnp.asarray(compute_obs_mid(pk))
-    return _finish(pk["H_pad"], pk["L_pad"], jnp.asarray(pk["b_mid"]),
-                   alpha_mid, beta_mid, obs_mid,
-                   jnp.asarray(pk["prior_rmq"]), jnp.asarray(pk["prior_hmq"]),
-                   btf, btb, exact_ties=exact_ties)
+    out = _finish(pk["H_pad"], pk["L_pad"], jnp.asarray(pk["b_mid"]),
+                  alpha_mid, beta_mid, obs_mid,
+                  jnp.asarray(pk["prior_rmq"]), jnp.asarray(pk["prior_hmq"]),
+                  btf, btb, exact_ties=exact_ties)
+    # map_state values < 2*(H_pad+2): ship int16 when that fits (halves
+    # the biggest host fetch)
+    if 2 * (pk["H_pad"] + 2) < 2 ** 15:
+        out = out[:-1] + (out[-1].astype(jnp.int16),)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Compact packing: per-read / per-hap tables + per-pair indices.
+#
+# The dense pk ships ~7.5 KB per (hap, read) pair to the device — mostly
+# per-hap rows repeated per read (lpe/lpn/hap_codes/priors) and per-read
+# rows repeated per hap (eq/uq/read_codes).  Through the axon tunnel
+# (~110 MB/s + ~25 ms per transfer) that upload dominates the slab wall
+# time.  The compact form ships each table once plus two (B,) int32 index
+# vectors and expands ON DEVICE with gathers; the bMid priors and obs_mid
+# slice are also assembled on device from host-computed per-read scalars
+# (pure gathers/selects of host values — bit-identical to the dense path,
+# tests/test_pack_vectorized.py::test_compact_matches_dense).
+#
+# The insert-size positional prior (map_unmapped_reads + eligible mates)
+# needs per-pair pinsert tables; pack_pairs_compact returns None there and
+# callers fall back to the dense path.
+
+def pack_pairs_compact(haps: List[Haplotype], reads: List[Read],
+                       hap_start: int, p: ObservationModelParameters,
+                       dtype=np.float64, bucket: int = 16,
+                       H_pad: int = None, L_pad: int = None):
+    if p.map_unmapped_reads and any(
+            r.is_paired and not r.mate_is_unmapped and r.mate_len != -1
+            and r.same_tid_as_mate for r in reads):
+        return None
+    nh, nr = len(haps), len(reads)
+    H_max = max(h.size() for h in haps)
+    L_max = max(r.size() for r in reads)
+    if H_pad is None:
+        H_pad = _round_up(H_max, bucket)
+    if L_pad is None:
+        L_pad = _round_up(max(L_max, 2), bucket)
+    numT = p.max_length_del + 2
+    S_half = H_pad + 2
+
+    # per-read tables
+    read_len_r = np.fromiter((r.size() for r in reads), np.int32, nr)
+    read_codes_r = np.zeros((nr, L_pad), np.uint8)
+    qual_r = np.zeros((nr, L_pad), np.float64)
+    for ri, r in enumerate(reads):
+        L = read_len_r[ri]
+        read_codes_r[ri, :L] = np.frombuffer(r.seq.encode(), np.uint8)
+        qual_r[ri, :L] = r.qual
+    col = np.arange(L_pad)[None, :]
+    in_read = col < read_len_r[:, None]
+    pr = qual_r * (1.0 - p.p_mut)
+    eq_r = np.where(in_read, np.log(0.25 + 0.75 * pr), 0.0).astype(dtype)
+    uq_r = np.where(in_read, np.log(0.75 + 1e-10 - 0.75 * pr),
+                    0.0).astype(dtype)
+    map_qual_r = np.fromiter((r.map_qual for r in reads), np.float64, nr)
+    unmapped_r = np.fromiter((r.is_unmapped for r in reads), bool, nr)
+    psf_r = np.fromiter((read.pos_stat_first for read in reads),
+                        np.float64, nr)
+    # capped off-hap prior mass per read (computeBMidPrior,
+    # ObservationModelFB.cpp:268-305)
+    mq = 1.0 - map_qual_r
+    capped = -10.0 * np.log10(mq) > p.map_qual_threshold
+    mq = np.where(capped, 10.0 ** (-p.map_qual_threshold / 10.0), mq)
+    log_off_r = np.log(mq)
+    log_on_r = np.log(1.0 - mq)
+    # HMQ prior mass: same float ops as the dense path (1-(1-1e-10)
+    # differs from literal 1e-10 by one ulp, and the cap threshold
+    # comparison sits exactly at that boundary)
+    mq_h = 1.0 - (1.0 - 1e-10)
+    if -10.0 * math.log10(mq_h) > p.map_qual_threshold:
+        mq_h = 10.0 ** (-p.map_qual_threshold / 10.0)
+    tr_dummy = _Trans(p, haps[0].seq)
+
+    # per-hap tables
+    hap_len_h = np.fromiter((h.size() for h in haps), np.int32, nh)
+    hap_codes_h = np.zeros((nh, H_pad), np.uint8)
+    lpe_h = np.full((nh, S_half), math.log(1e-5), dtype)
+    lpn_h = np.full((nh, S_half), math.log(1 - 1e-5), dtype)
+    lpeV_h = np.zeros((nh, S_half + numT), dtype)
+    lpnV_h = np.zeros((nh, S_half + numT), dtype)
+    b_mid_hr = np.zeros((nh, nr), np.int32)
+    for hi, hap in enumerate(haps):
+        Hh = hap_len_h[hi]
+        if p.max_length_del > Hh:
+            raise ValueError("hapSize error.")
+        hap_codes_h[hi, :Hh] = np.frombuffer(hap.seq.encode(), np.uint8)
+        e_, n_ = hp_log_prob_error(hap.seq)
+        lpe_h[hi, :Hh + 2] = np.asarray(e_, dtype)
+        lpn_h[hi, :Hh + 2] = np.asarray(n_, dtype)
+        ROi = Hh + 1
+        if ROi != H_pad + 1:
+            lpe_h[hi, H_pad + 1] = lpe_h[hi, ROi]
+            lpn_h[hi, H_pad + 1] = lpn_h[hi, ROi]
+        core_e = np.full(S_half + numT, e_[ROi])
+        core_n = np.full(S_half + numT, n_[ROi])
+        core_e[:Hh + 1] = e_[:Hh + 1]
+        core_n[:Hh + 1] = n_[:Hh + 1]
+        lpeV_h[hi] = core_e
+        lpnV_h[hi] = core_n
+        # vectorized compute_b_mid (ObservationModelFB.cpp:50-99)
+        m = psf_r.astype(np.int64)
+        read_end = m + read_len_r - 1
+        hap_end = hap_start + int(Hh)
+        ol_start = np.maximum(hap_start, m)
+        ol_end = np.where(hap_end > read_end, read_end, hap_end)
+        mid = (ol_end - ol_start) // 2 + ol_start
+        bm = np.where(unmapped_r | (m > hap_end) | (read_end < hap_start),
+                      read_len_r // 2, mid - m)
+        if p.b_mid != -1:
+            bm = np.full_like(bm, p.b_mid)
+        b_mid_hr[hi] = np.clip(bm, 0, read_len_r - 1).astype(np.int32)
+
+    hap_idx = np.repeat(np.arange(nh, dtype=np.int32), nr)
+    read_idx = np.tile(np.arange(nr, dtype=np.int32), nh)
+    scalars = np.array([math.log(1.0 - p.p_first_g_lo),
+                        math.log(p.p_first_g_lo),
+                        -0.5,
+                        math.log(1.0 - math.exp(-0.5)),
+                        math.log(1.0 - p.p_error)], dtype)
+    return dict(
+        compact=True, H_pad=H_pad, L_pad=L_pad, numT=numT, nh=nh, nr=nr,
+        read_codes_r=read_codes_r, eq_r=eq_r, uq_r=uq_r,
+        hap_codes_h=hap_codes_h, lpe_h=lpe_h, lpn_h=lpn_h,
+        lpeV_h=lpeV_h, lpnV_h=lpnV_h,
+        hap_idx=hap_idx, read_idx=read_idx,
+        hap_len=hap_len_h[hap_idx], read_len=read_len_r[read_idx],
+        b_mid=b_mid_hr.reshape(-1),
+        log_off_r=log_off_r, log_on_r=log_on_r,
+        log_off_hmq=math.log(mq_h), log_on_hmq=math.log(1.0 - mq_h),
+        log_ins1=tr_dummy.logpInsgNoIns,
+        log_ins0=math.log(1.0 - math.exp(tr_dummy.logpInsgNoIns)),
+        scalars=scalars)
+
+
+def merge_compact(pks: List[dict]) -> dict:
+    """Concatenate compact pks from several windows into one slab (table
+    rows stacked; per-pair indices offset)."""
+    if len(pks) == 1:
+        return pks[0]
+    out = dict(pks[0])
+    for key in ("H_pad", "L_pad", "numT"):
+        assert all(pk[key] == out[key] for pk in pks)
+    tables_r = ("read_codes_r", "eq_r", "uq_r", "log_off_r", "log_on_r")
+    tables_h = ("hap_codes_h", "lpe_h", "lpn_h", "lpeV_h", "lpnV_h")
+    for k in tables_r + tables_h:
+        out[k] = np.concatenate([pk[k] for pk in pks])
+    off_r = np.cumsum([0] + [pk["read_codes_r"].shape[0] for pk in pks])
+    off_h = np.cumsum([0] + [pk["hap_codes_h"].shape[0] for pk in pks])
+    out["read_idx"] = np.concatenate(
+        [pk["read_idx"] + off_r[i] for i, pk in enumerate(pks)])
+    out["hap_idx"] = np.concatenate(
+        [pk["hap_idx"] + off_h[i] for i, pk in enumerate(pks)])
+    for k in ("hap_len", "read_len", "b_mid"):
+        out[k] = np.concatenate([pk[k] for pk in pks])
+    out["nh"] = out["nr"] = 0
+    return out
+
+
+def pad_compact(pk: dict) -> dict:
+    """Pad a compact slab's table and pair-array sizes to shape buckets
+    so the expand/DP/finish jits recur instead of recompiling per slab
+    (each cold axon compile is seconds; the pad rows are clones of the
+    last real row and every consumer slices by real-pair offsets).
+    Read tables pad to multiples of 64 rows, hap tables to 8, and the
+    pair axis to the Pallas tile quantization (pow2 tiles below 16,
+    multiples of 16 above)."""
+    def padrows(a, m):
+        n = a.shape[0]
+        t = _round_up(max(n, 1), m)
+        if t == n:
+            return a
+        return np.concatenate(
+            [a, np.repeat(a[-1:], t - n, axis=0)], axis=0)
+
+    out = dict(pk)
+    for k in ("read_codes_r", "eq_r", "uq_r", "log_off_r", "log_on_r"):
+        out[k] = padrows(pk[k], 64)
+    for k in ("hap_codes_h", "lpe_h", "lpn_h", "lpeV_h", "lpnV_h"):
+        out[k] = padrows(pk[k], 8)
+    B = pk["hap_idx"].shape[0]
+    TB = 128
+    tiles = _round_up(B, TB) // TB
+    if tiles > 1:
+        if tiles < 16:
+            tiles = 1 << (tiles - 1).bit_length()
+        else:
+            tiles = _round_up(tiles, 16)
+    Bp = tiles * TB
+    for k in ("hap_idx", "read_idx", "hap_len", "read_len", "b_mid"):
+        out[k] = padrows(pk[k], Bp)
+    return out
+
+
+@partial(jax.jit, static_argnames=("H_pad", "L_pad", "dtype_str"))
+def _expand_compact(H_pad, L_pad, dtype_str,
+                    read_codes_r, eq_r, uq_r, hap_codes_h, lpe_h, lpn_h,
+                    lpeV_h, lpnV_h, hap_idx, read_idx, hap_len, b_mid,
+                    log_off_r, log_on_r, hmq_consts, ins_consts):
+    """Device-side expansion of a compact slab: gathers + prior/obs_mid
+    assembly.  Every value is a host-computed number broadcast into the
+    dense layout, so results are bit-identical to pack_pairs."""
+    dt = np.dtype(dtype_str)
+    S_half = H_pad + 2
+    read_codes = read_codes_r[read_idx]
+    eq = eq_r[read_idx]
+    uq = uq_r[read_idx]
+    hap_codes = hap_codes_h[hap_idx]
+    lpe = lpe_h[hap_idx]
+    lpn = lpn_h[hap_idx]
+    lpeV = lpeV_h[hap_idx]
+    lpnV = lpnV_h[hap_idx]
+    B = read_idx.shape[0]
+
+    # priors (dense layout of _expand_prior): lane 0 = off, 1..Hh = on,
+    # H_pad+1 = -100, else NEGBIG — per ins-flag half
+    lane = jnp.arange(S_half, dtype=jnp.int32)[None, :]
+    hl = hap_len[:, None]
+    lo_r = log_off_r[read_idx][:, None]
+    on_r = log_on_r[read_idx][:, None]
+    log_off_h, log_on_h = hmq_consts
+    log_ins0, log_ins1 = ins_consts
+
+    def prior_half(lo, on, log_ins):
+        v0 = (lo + log_ins).astype(dt)
+        von = (on + log_ins).astype(dt)
+        v0 = jnp.broadcast_to(v0, (B, 1))
+        von = jnp.broadcast_to(von, (B, S_half))
+        row = jnp.where(lane == 0, v0,
+                        jnp.where((lane >= 1) & (lane <= hl), von,
+                                  jnp.where(lane == H_pad + 1,
+                                            jnp.asarray(-100.0, dt),
+                                            jnp.asarray(NEGBIG, dt))))
+        return row
+
+    prior_rmq = jnp.concatenate(
+        [prior_half(lo_r, on_r, log_ins0),
+         prior_half(lo_r, on_r, log_ins1)], axis=1)
+    oh = jnp.full((B, 1), log_off_h)
+    onh = jnp.full((B, 1), log_on_h)
+    prior_hmq = jnp.concatenate(
+        [prior_half(oh, onh, log_ins0),
+         prior_half(oh, onh, log_ins1)], axis=1)
+
+    # obs_mid (compute_obs_mid semantics, on device)
+    bmc = b_mid[:, None]
+    e = jnp.take_along_axis(eq, bmc, axis=1)
+    u = jnp.take_along_axis(uq, bmc, axis=1)
+    rb = jnp.take_along_axis(read_codes, bmc, axis=1)
+    mismatch = (hap_codes != rb) & (hap_codes != ord("N"))
+    on_o = jnp.where(mismatch, u, e)
+    noins = jnp.concatenate(
+        [e, on_o, jnp.broadcast_to(e, (B, 1)).astype(dt)], axis=1)
+    obs_mid = jnp.concatenate(
+        [noins, jnp.broadcast_to(e, (B, S_half)).astype(dt)], axis=1)
+    return (read_codes, eq, uq, hap_codes, lpe, lpn, lpeV, lpnV,
+            prior_rmq, prior_hmq, obs_mid)
+
+
+def run_packed_compact(pk: dict, dp_impl: str = "xla",
+                       exact_ties: bool = None):
+    """run_packed for a compact slab: one small upload, device-side
+    expansion, then the shared DP + finish."""
+    if exact_ties is None:
+        exact_ties = (dp_impl == "xla")
+    dt = np.dtype(pk["eq_r"].dtype)
+    (read_codes, eq, uq, hap_codes, lpe, lpn, lpeV, lpnV,
+     prior_rmq, prior_hmq, obs_mid) = _expand_compact(
+        pk["H_pad"], pk["L_pad"], dt.str,
+        jnp.asarray(pk["read_codes_r"]), jnp.asarray(pk["eq_r"]),
+        jnp.asarray(pk["uq_r"]), jnp.asarray(pk["hap_codes_h"]),
+        jnp.asarray(pk["lpe_h"]), jnp.asarray(pk["lpn_h"]),
+        jnp.asarray(pk["lpeV_h"]), jnp.asarray(pk["lpnV_h"]),
+        jnp.asarray(pk["hap_idx"]), jnp.asarray(pk["read_idx"]),
+        jnp.asarray(pk["hap_len"]), jnp.asarray(pk["b_mid"]),
+        jnp.asarray(pk["log_off_r"]), jnp.asarray(pk["log_on_r"]),
+        (pk["log_off_hmq"], pk["log_on_hmq"]),
+        (pk["log_ins0"], pk["log_ins1"]))
+    dp = get_dp_impl(dp_impl)
+    alpha_mid, beta_mid, btf, btb = dp(
+        pk["H_pad"], pk["L_pad"], pk["numT"],
+        jnp.asarray(pk["hap_len"]), pk["read_len"], pk["b_mid"],
+        read_codes, hap_codes, eq, uq, lpe, lpn, lpeV, lpnV,
+        pk["scalars"])
+    out = _finish(pk["H_pad"], pk["L_pad"], jnp.asarray(pk["b_mid"]),
+                  alpha_mid, beta_mid, obs_mid, prior_rmq, prior_hmq,
+                  btf, btb, exact_ties=exact_ties)
+    if 2 * (pk["H_pad"] + 2) < 2 ** 15:
+        out = out[:-1] + (out[-1].astype(jnp.int16),)
+    return out
+
+
+def expand_compact_host(pk: dict) -> dict:
+    """Host-side (numpy) expansion of a compact pk into the dense layout
+    — for parity tests and for consumers that need the dense per-pair
+    code arrays (decode_map_alignments)."""
+    out = dict(H_pad=pk["H_pad"], L_pad=pk["L_pad"], numT=pk["numT"],
+               nh=pk["nh"], nr=pk["nr"], scalars=pk["scalars"],
+               hap_len=pk["hap_len"], read_len=pk["read_len"],
+               b_mid=pk["b_mid"])
+    hi, ri = pk["hap_idx"], pk["read_idx"]
+    out["read_codes"] = pk["read_codes_r"][ri]
+    out["eq"] = pk["eq_r"][ri]
+    out["uq"] = pk["uq_r"][ri]
+    out["hap_codes"] = pk["hap_codes_h"][hi]
+    out["lpe"] = pk["lpe_h"][hi]
+    out["lpn"] = pk["lpn_h"][hi]
+    out["lpeV"] = pk["lpeV_h"][hi]
+    out["lpnV"] = pk["lpnV_h"][hi]
+    dt = pk["eq_r"].dtype
+    S_half = pk["H_pad"] + 2
+    B = ri.shape[0]
+    lane = np.arange(S_half)[None, :]
+    hl = pk["hap_len"][:, None]
+
+    def prior_half(lo, on, log_ins):
+        v0 = np.asarray(lo + log_ins, dt)
+        von = np.asarray(on + log_ins, dt)
+        row = np.where(lane == 0, np.broadcast_to(v0, (B, S_half)),
+                       np.where((lane >= 1) & (lane <= hl),
+                                np.broadcast_to(von, (B, S_half)),
+                                np.where(lane == pk["H_pad"] + 1,
+                                         dt.type(-100.0), dt.type(NEGBIG))))
+        return row.astype(dt)
+
+    lo_r = pk["log_off_r"][ri][:, None]
+    on_r = pk["log_on_r"][ri][:, None]
+    out["prior_rmq"] = np.concatenate(
+        [prior_half(lo_r, on_r, pk["log_ins0"]),
+         prior_half(lo_r, on_r, pk["log_ins1"])], axis=1)
+    oh = np.full((B, 1), pk["log_off_hmq"])
+    onh = np.full((B, 1), pk["log_on_hmq"])
+    out["prior_hmq"] = np.concatenate(
+        [prior_half(oh, onh, pk["log_ins0"]),
+         prior_half(oh, onh, pk["log_ins1"])], axis=1)
+    return out
 
 
 def _pack_pairs_ref(haps: List[Haplotype], reads: List[Read], hap_start: int,

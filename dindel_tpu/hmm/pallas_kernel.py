@@ -403,12 +403,19 @@ def dp_pallas(H_pad, L_pad, numT,
               hap_len, read_len, b_mid, read_codes, hap_codes,
               eq, uq, lpe, lpn, lpeV, lpnV, scalars, interpret=False,
               exact_ties=False, tb=None, hoist=None, emit_bt=True,
-              unroll=1, anchor_bounds=True):
+              unroll=1, anchor_bounds=True, quantize=True):
     """Pallas implementation of the DP passes; same contract as _dp_xla
     (lpeV/lpnV are recomputed in-kernel via lane rolls and ignored).
 
     Backpointer slices for b >= max(read_len) are left uninitialized in
-    HBM; _finish only consumes slices below each pair's read length."""
+    HBM; _finish only consumes slices below each pair's read length.
+
+    quantize=True coarsens the shape-specializing statics so kernels
+    recur across slabs instead of recompiling (each axon compile is
+    ~20-40 s, vs ~10 ms of compute): L_act and MB round UP to multiples
+    of 16, MN rounds DOWN, and the tile count rounds up to a power of
+    two (pad rows replicate the last pair).  All of these only ADD dead
+    work — outputs over the real pairs are unchanged."""
     del lpeV, lpnV
     TB = TB_DEFAULT if tb is None else int(tb)
     B = hap_len.shape[0]
@@ -426,29 +433,62 @@ def dp_pallas(H_pad, L_pad, numT,
         if bm.size:
             MB, MN = int(bm.max()), int(bm.min())
 
-    Bp = ((B + TB - 1) // TB) * TB
-    if Bp != B:
-        padn = Bp - B
-        def padrow(a):
-            return jnp.concatenate(
-                [a, jnp.tile(a[-1:], (padn,) + (1,) * (a.ndim - 1))], axis=0)
-        hap_len = padrow(hap_len)
-        read_len = padrow(read_len)
-        b_mid = padrow(b_mid)
-        read_codes = padrow(read_codes)
-        hap_codes = padrow(hap_codes)
-        eq = padrow(eq)
-        uq = padrow(uq)
-        lpe = padrow(lpe)
-        lpn = padrow(lpn)
+    if quantize:
+        L_act = min(L_pad, ((L_act + 15) // 16) * 16)
+        if MB is not None:
+            MB = min(((MB + 15) // 16) * 16, L_act - 1)
+            MN = (MN // 16) * 16
 
+    Bp = ((B + TB - 1) // TB) * TB
+    if quantize and Bp > TB:
+        tiles = Bp // TB
+        # small slabs: next power of two; large: multiple of 16 tiles
+        # (bounds pad waste at <=6% for large slabs, and the distinct
+        # grid-size count at ~8 for any max_pairs_per_slab <= 16k)
+        if tiles < 16:
+            tiles = 1 << (tiles - 1).bit_length()
+        else:
+            tiles = ((tiles + 15) // 16) * 16
+        Bp = TB * tiles
     num_tiles = Bp // TB
     scal = tuple(float(x) for x in np.asarray(scalars))
     if hoist is None:
         hoist = HOIST_DEFAULT
+
+    # Cache the traced callable: rebuilding the kernel closure per call
+    # forces a full jax retrace (~0.3-1.5 s through the axon tunnel, far
+    # more than the ~10 ms of device compute).  Keyed on every static;
+    # the inner jit additionally caches per input-shape set, and padding
+    # happens inside the traced function.
+    key = (H_pad, L_pad, L_act, numT, scal, exact_ties, TB, hoist,
+           emit_bt, unroll, MB, MN, Bp, bool(interpret),
+           np.dtype(dtype).str)
+    fn = _TRACED_CACHE.get(key)
+    if fn is None:
+        fn = _build_call(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
+                         hoist, emit_bt, unroll, MB, MN, Bp, interpret)
+        _TRACED_CACHE[key] = fn
+    amid, bmid_, btf, btb = fn(hap_len, read_len, b_mid, read_codes,
+                               hap_codes, eq, uq, lpe, lpn)
+    if Bp != B:
+        amid = amid[:B]
+        bmid_ = bmid_[:B]
+        btf = btf[:, :B]
+        btb = btb[:, :B]
+    return amid, bmid_, btf, btb
+
+
+_TRACED_CACHE = {}
+
+
+def _build_call(H_pad, L_pad, L_act, numT, scal, exact_ties, TB, hoist,
+                emit_bt, unroll, MB, MN, Bp, interpret):
+    SP = H_pad + 2
+    S2 = 2 * SP
     kernel = _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
                           hoist=hoist, emit_bt=emit_bt, unroll=unroll,
                           MB=MB, MN=MN)
+    num_tiles = Bp // TB
 
     def im(i):
         return (i, 0)
@@ -464,48 +504,66 @@ def dp_pallas(H_pad, L_pad, numT,
         pl.BlockSpec((TB, SP), im, memory_space=pltpu.VMEM),
         pl.BlockSpec((TB, SP), im, memory_space=pltpu.VMEM),
     ]
-    out_shape = (
-        jax.ShapeDtypeStruct((Bp, S2), dtype),                    # amid
-        jax.ShapeDtypeStruct((Bp, S2), dtype),                    # bmid
-        jax.ShapeDtypeStruct(((L_pad - 1) * Bp, S2), jnp.int32),  # btf
-        jax.ShapeDtypeStruct(((L_pad - 1) * Bp, S2), jnp.int32),  # btb
-    )
     out_specs = (
         pl.BlockSpec((TB, S2), im, memory_space=pltpu.VMEM),
         pl.BlockSpec((TB, S2), im, memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.ANY),
         pl.BlockSpec(memory_space=pltpu.ANY),
     )
-    scratch_shapes = [
-        pltpu.VMEM((TB, SP), dtype),       # an
-        pltpu.VMEM((TB, SP), dtype),       # ai
-        pltpu.VMEM((TB, SP), jnp.int32),   # hap base codes at lane
-        pltpu.VMEM((TB, S2), jnp.int32),   # bt staging (even steps)
-        pltpu.VMEM((TB, S2), jnp.int32),   # bt staging (odd steps)
-        pltpu.VMEM((TB, L_pad), jnp.int32),  # rolling read codes
-        pltpu.VMEM((TB, L_pad), dtype),      # rolling eq
-        pltpu.VMEM((TB, L_pad), dtype),      # rolling uq
-        pltpu.SemaphoreType.DMA((2,)),
-    ]
-    i32 = lambda a: a.astype(jnp.int32)
-    wide = lambda a: jnp.broadcast_to(i32(a)[:, None], (Bp, 128))
-    amid, bmid_, btf, btb = pl.pallas_call(
-        kernel,
-        grid=(num_tiles,),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        scratch_shapes=scratch_shapes,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(wide(hap_len), wide(read_len), wide(b_mid),
-      i32(read_codes), i32(hap_codes), eq, uq, lpe, lpn)
 
-    btf = btf.reshape(L_pad - 1, Bp, S2)
-    btb = btb.reshape(L_pad - 1, Bp, S2)
-    if Bp != B:
-        amid = amid[:B]
-        bmid_ = bmid_[:B]
-        btf = btf[:, :B]
-        btb = btb[:, :B]
-    return amid, bmid_, btf, btb
+    @jax.jit
+    def call(hap_len, read_len, b_mid, read_codes, hap_codes, eq, uq,
+             lpe, lpn):
+        dtype = eq.dtype
+        B = hap_len.shape[0]
+        if Bp != B:
+            padn = Bp - B
+
+            def padrow(a):
+                return jnp.concatenate(
+                    [a, jnp.tile(a[-1:], (padn,) + (1,) * (a.ndim - 1))],
+                    axis=0)
+            hap_len_, read_len_, b_mid_ = (padrow(hap_len),
+                                           padrow(read_len), padrow(b_mid))
+            read_codes_, hap_codes_ = padrow(read_codes), padrow(hap_codes)
+            eq_, uq_, lpe_, lpn_ = (padrow(eq), padrow(uq), padrow(lpe),
+                                    padrow(lpn))
+        else:
+            hap_len_, read_len_, b_mid_ = hap_len, read_len, b_mid
+            read_codes_, hap_codes_ = read_codes, hap_codes
+            eq_, uq_, lpe_, lpn_ = eq, uq, lpe, lpn
+        out_shape = (
+            jax.ShapeDtypeStruct((Bp, S2), dtype),                    # amid
+            jax.ShapeDtypeStruct((Bp, S2), dtype),                    # bmid
+            jax.ShapeDtypeStruct(((L_pad - 1) * Bp, S2), jnp.int32),  # btf
+            jax.ShapeDtypeStruct(((L_pad - 1) * Bp, S2), jnp.int32),  # btb
+        )
+        scratch_shapes = [
+            pltpu.VMEM((TB, SP), dtype),       # an
+            pltpu.VMEM((TB, SP), dtype),       # ai
+            pltpu.VMEM((TB, SP), jnp.int32),   # hap base codes at lane
+            pltpu.VMEM((TB, S2), jnp.int32),   # bt staging (even steps)
+            pltpu.VMEM((TB, S2), jnp.int32),   # bt staging (odd steps)
+            pltpu.VMEM((TB, L_pad), jnp.int32),  # rolling read codes
+            pltpu.VMEM((TB, L_pad), dtype),      # rolling eq
+            pltpu.VMEM((TB, L_pad), dtype),      # rolling uq
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        i32 = lambda a: a.astype(jnp.int32)
+        wide = lambda a: jnp.broadcast_to(i32(a)[:, None], (Bp, 128))
+        amid, bmid_, btf, btb = pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch_shapes,
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=interpret,
+        )(wide(hap_len_), wide(read_len_), wide(b_mid_),
+          i32(read_codes_), i32(hap_codes_), eq_, uq_, lpe_, lpn_)
+        btf = btf.reshape(L_pad - 1, Bp, S2)
+        btb = btb.reshape(L_pad - 1, Bp, S2)
+        return amid, bmid_, btf, btb
+
+    return call

@@ -72,3 +72,52 @@ def test_pack_identical_unmapped_mates():
     pk_ref = _pack_pairs_ref(haps, reads, hs, params, dtype=np.float64)
     pk_new = pack_pairs(haps, reads, hs, params, dtype=np.float64)
     _compare(pk_ref, pk_new)
+
+
+def test_compact_matches_dense():
+    """Compact table packing, expanded on host AND through the device
+    path, must equal the dense pack_pairs bit-for-bit."""
+    from dindel_tpu.hmm.batch import (pack_pairs_compact, merge_compact,
+                                      expand_compact_host, run_packed,
+                                      run_packed_compact)
+    import random
+    params = ObservationModelParameters()
+    for dtype in (np.float64, np.float32):
+        (haps, reads, hs), = synth_windows(1, nh=4, nr=30, H=90, L=50,
+                                           seed=5)
+        rng = random.Random(2)
+        for r in reads:
+            r.map_qual = rng.choice([0.5, 0.99, 1.0 - 1e-16])
+        dense = pack_pairs(haps, reads, hs, params, dtype=dtype)
+        comp = pack_pairs_compact(haps, reads, hs, params, dtype=dtype,
+                                  H_pad=dense["H_pad"],
+                                  L_pad=dense["L_pad"])
+        exp = expand_compact_host(comp)
+        for k in ("read_codes", "eq", "uq", "hap_codes", "lpe", "lpn",
+                  "lpeV", "lpnV", "prior_rmq", "prior_hmq", "hap_len",
+                  "read_len", "b_mid"):
+            assert np.array_equal(dense[k], exp[k]), (dtype, k)
+        a = [np.asarray(x) for x in run_packed(dense, "xla")]
+        b = [np.asarray(x) for x in run_packed_compact(comp, "xla")]
+        for nm, x, y in zip(("ll", "oh", "ohh", "llo", "llon", "ms"), a, b):
+            assert np.array_equal(x, y), (dtype, nm)
+
+
+def test_merge_compact_two_windows():
+    """merge_compact over two windows equals per-window runs."""
+    from dindel_tpu.hmm.batch import (pack_pairs_compact, merge_compact,
+                                      run_packed_compact)
+    params = ObservationModelParameters()
+    ws = synth_windows(2, nh=3, nr=12, H=80, L=40, seed=4)
+    pks = [pack_pairs_compact(h, r, s, params, dtype=np.float64,
+                              H_pad=96, L_pad=48) for h, r, s in ws]
+    merged = merge_compact(pks)
+    got = [np.asarray(x) for x in run_packed_compact(merged, "xla")]
+    off = 0
+    for pk in pks:
+        B = pk["hap_len"].shape[0]
+        want = [np.asarray(x) for x in run_packed_compact(pk, "xla")]
+        for nm, w, g in zip(("ll", "oh", "ohh", "llo", "llon", "ms"),
+                            want, got):
+            assert np.array_equal(w, g[off:off + B]), nm
+        off += B

@@ -70,6 +70,18 @@ def main():
         max_pairs_per_slab=8192,
         dp_impl="pallas" if on_tpu else "xla",
         dtype=np.float32)
+    # pass 1 (cold): includes one-time kernel compiles for each quantized
+    # shape bucket (~20-40 s each through axon; persisted in the jax
+    # compilation cache).  pass 2 (warm) is the steady-state number.
+    t0 = time.perf_counter()
+    rows = []
+    for wf in win_files:
+        rows.extend(eng.detect_indels(wf, str(Path(d) / "out.glf.txt")))
+    dt_cold = time.perf_counter() - t0
+    n_ok = eng.stats.windows_ok
+
+    from dindel_tpu.engine.stats import RunStats
+    eng.stats = RunStats()
     t0 = time.perf_counter()
     rows = []
     for wf in win_files:
@@ -85,6 +97,8 @@ def main():
         "windows_error": s["windows_error"],
         "calls": len(rows),
         "wall_s": round(dt, 3),
+        "cold_wall_s": round(dt_cold, 3),
+        "cold_windows_per_sec": round(n_ok / dt_cold, 3),
         "stage_seconds": {k: round(v, 3)
                           for k, v in s.get("stage_seconds", {}).items()},
     }))
