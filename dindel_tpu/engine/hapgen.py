@@ -126,9 +126,20 @@ class HaplotypeDistribution:
         self._sort_blocks()
 
     def _first_overlapping(self, seq_start: int, seq_end: int) -> int:
-        for x, hb in enumerate(self.blocks):
-            if hb.end() >= seq_start and hb.start() <= seq_end:
-                return x
+        # blocks are position-sorted and non-overlapping (the reference's
+        # invariant, HaplotypeDistribution.cpp:218-250), so the first
+        # overlap bisects instead of scanning — this is the hottest
+        # host-side call (one per read chunk); equivalence to the linear
+        # scan is asserted in tests/test_engine_misc.py
+        import bisect
+        blocks = self.blocks
+        i = bisect.bisect_right(blocks, seq_start,
+                                key=lambda b: b.pos0) - 1
+        if i >= 0 and blocks[i].pos1 >= seq_start:
+            return i
+        i += 1
+        if i < len(blocks) and blocks[i].pos0 <= seq_end:
+            return i
         return -1
 
     def _split_block(self, idx: int, seq: str, typ: int, seq_start: int) -> None:

@@ -30,9 +30,9 @@ def read_from_bam(rec: BamRecord, libraries: LibraryCollection,
     if map_qual > 1 - 1e-16:
         map_qual = 1 - 1e-16
     import numpy as np
-    qual = np.empty(len(rec.seq))
-    for i, q in enumerate(rec.qual):
-        qual[i] = phred_prob(float(q))
+    # vectorized phred_prob (Read.hpp:128-147 clamps)
+    q = np.frombuffer(rec.qual, np.uint8).astype(np.float64)
+    qual = np.clip(1.0 - 10.0 ** (-q / 10.0), 1e-16, 1.0 - 1e-16)
     pos_stat = mean_first_base_position(rec.cigar, rec.pos)
     # library lookup (Read.hpp:166-179, getLibraryName :185-197)
     if rec.is_paired:

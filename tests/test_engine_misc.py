@@ -109,3 +109,34 @@ def test_stats_and_opl(sim):
     assert glob.glob(str(sim["tmp"] / "opl.*.hapvars"))
     assert glob.glob(str(sim["tmp"] / "opl.*.hapfreqs"))
     assert glob.glob(str(sim["tmp"] / "opl.check.txt"))
+
+
+def test_first_overlapping_bisect_equals_linear():
+    """The bisect-based HaplotypeDistribution._first_overlapping must
+    equal the reference's linear scan on randomized block layouts."""
+    import random
+    from dindel_tpu.engine.hapgen import HaplotypeDistribution
+
+    def linear(blocks, seq_start, seq_end):
+        for x, hb in enumerate(blocks):
+            if hb.end() >= seq_start and hb.start() <= seq_end:
+                return x
+        return -1
+
+    rng = random.Random(9)
+    for trial in range(30):
+        n = rng.randrange(40, 160)
+        ref = "".join(rng.choice("ACGT") for _ in range(n))
+        start0 = rng.randrange(0, 50)
+        hd = HaplotypeDistribution(start0 + n // 2, ref, start0)
+        # random inserts to fragment the blocks
+        for _ in range(rng.randrange(5, 25)):
+            ln = rng.randrange(1, 9)
+            s = rng.randrange(start0, start0 + n - ln)
+            hd._insert_seq("".join(rng.choice("ACGT") for _ in range(ln)),
+                           1, s)
+        for _ in range(50):
+            a = rng.randrange(start0 - 5, start0 + n + 5)
+            b = a + rng.randrange(0, 12)
+            assert hd._first_overlapping(a, b) == linear(hd.blocks, a, b), \
+                (trial, a, b)
