@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 from typing import List, Optional, Tuple
 
+import jax
 import numpy as np
 
 from ..config import Parameters
@@ -223,8 +224,10 @@ class BatchedWindowEngine(WindowEngine):
             """Blocking fetch + vectorized decode."""
             slab, pks, compact, res = staged
             with self.stats.stage("slab_fetch"):
-                (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state) = [
-                    np.asarray(x) for x in res]
+                # one pytree fetch (pipelined transfers) instead of six
+                # sequential ~25 ms tunnel round trips
+                (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state) = (
+                    jax.device_get(res))
             off = 0
             with self.stats.stage("slab_decode"):
               for e, pk in zip(slab, pks):

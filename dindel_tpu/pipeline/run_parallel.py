@@ -66,6 +66,16 @@ def run_shards(window_files: List[str], bam_paths: List[str],
         results = [_run_one(j) for j in jobs]
     glf_paths = [r[0] for r in results]
     stats = [r[1] for r in results]
+    # shard-consistency check (SURVEY.md §5): every window of every input
+    # file is processed exactly once — the distributed-era analogue of the
+    # reference's duplicate-read buffer check
+    for wf, st in zip(window_files, stats):
+        with open(wf) as f:
+            n_windows = sum(1 for line in f if line.strip())
+        if st.get("windows_total") != n_windows:
+            raise RuntimeError(
+                f"shard consistency: {wf} has {n_windows} windows but the "
+                f"worker processed {st.get('windows_total')}")
     return glf_paths, stats
 
 
