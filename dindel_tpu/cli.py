@@ -184,11 +184,8 @@ def main(argv=None) -> int:
             libraries.add_from_file(args.libFile)
         # The batched engine pipelines host packing/decoding with device
         # slabs (the TPU production path); the streaming engine is the
-        # per-window reference path and the only one supporting realigned
-        # -BAM output.
-        use_batched = (args.engine == "batched"
-                       and not args.outputRealignedBAM
-                       and params.slower)
+        # per-window reference path (and the --faster sparse-HMM path).
+        use_batched = args.engine == "batched" and params.slower
         if use_batched:
             import numpy as np
             from .engine.batched import BatchedWindowEngine

@@ -300,4 +300,24 @@ class BatchedWindowEngine(WindowEngine):
                         p, filtered, var_coverage, "dip"))
                 except _WindowThrow as err:
                     raise WindowError(str(err))
+            if p.output_realigned_bam and p.slower:
+                # same per-window realigned-BAM contract (and write
+                # order/overwrite quirk when both callers are on) as the
+                # streaming engine (DInDel.cpp:498-534, 589-633); on_hap
+                # from the decoded HMQ flags (DInDel.cpp:1717-1720)
+                on_hap = [0] * len(reads)
+                for h in range(len(haps)):
+                    for r in range(len(reads)):
+                        if not liks[h][r].off_hap_hmq:
+                            on_hap[r] = 1
+                if p.do_diploid:
+                    self._write_realigned_bam(
+                        e["index"], haps, reads, liks, on_hap,
+                        e["left_pos"], e["right_pos"], e["candidates"],
+                        diploid=True)
+                if p.estimate_hap_freqs:
+                    self._write_realigned_bam(
+                        e["index"], haps, reads, liks, on_hap,
+                        e["left_pos"], e["right_pos"], e["candidates"],
+                        diploid=False)
         return rows

@@ -45,3 +45,42 @@ def test_batched_equals_streaming(tmp_path):
     a = open(glf_a).read()
     b = open(glf_b).read()
     assert a == b
+
+
+def test_batched_realigned_bam_equals_streaming(tmp_path):
+    """The batched engine's realigned-BAM output must byte-match the
+    streaming engine's."""
+    import glob
+    from dindel_tpu.sim import PlantedVariant, SimConfig, simulate
+
+    variants = [PlantedVariant(pos=600, var="-TGCA", genotype=2)]
+    cfg = SimConfig(ref_len=1300, coverage=15, read_len=70)
+    fa, bam = simulate(str(tmp_path / "sim"), variants, cfg, seed=5)
+    var_file, _ = get_candidates(bam, str(tmp_path / "cand"), fa)
+    win_files = make_windows(var_file, str(tmp_path / "win"))
+
+    params = Parameters()
+    params.do_diploid = True
+    params.output_realigned_bam = True
+    params.file_name = str(tmp_path / "a")
+    eng = WindowEngine([bam], fa, params, hmm_backend="jax")
+    eng.detect_indels(win_files[0], str(tmp_path / "a.glf.txt"))
+    eng.close()
+
+    params2 = Parameters()
+    params2.do_diploid = True
+    params2.output_realigned_bam = True
+    params2.file_name = str(tmp_path / "b")
+    beng = BatchedWindowEngine([bam], fa, params2, batch_windows=8,
+                               dp_impl="xla", dtype=np.float64)
+    beng.detect_indels(win_files[0], str(tmp_path / "b.glf.txt"))
+    beng.close()
+
+    ra_a = sorted(glob.glob(str(tmp_path / "a.ra.*.bam")))
+    ra_b = sorted(glob.glob(str(tmp_path / "b.ra.*.bam")))
+    assert ra_a and len(ra_a) == len(ra_b)
+    from dindel_tpu.io.bam import BamReader
+    for pa, pb in zip(ra_a, ra_b):
+        ra = [(r.qname, r.pos, r.cigar, r.flag) for r in BamReader(pa)]
+        rb = [(r.qname, r.pos, r.cigar, r.flag) for r in BamReader(pb)]
+        assert ra == rb
