@@ -84,3 +84,42 @@ def test_batched_realigned_bam_equals_streaming(tmp_path):
         ra = [(r.qname, r.pos, r.cigar, r.flag) for r in BamReader(pa)]
         rb = [(r.qname, r.pos, r.cigar, r.flag) for r in BamReader(pb)]
         assert ra == rb
+
+
+def test_batched_error_rows_match_streaming(tmp_path):
+    """Per-window fault isolation (the reference's skip-and-record
+    contract, DInDel.cpp:1361-1408): windows with no reads become
+    error_too_few_reads GLF rows while later windows still get called —
+    identically in both engines."""
+    from dindel_tpu.sim import PlantedVariant, SimConfig, simulate
+
+    variants = [PlantedVariant(pos=900, var="-ACG", genotype=1)]
+    cfg = SimConfig(ref_len=1800, coverage=18, read_len=70)
+    fa, bam = simulate(str(tmp_path / "sim"), variants, cfg, seed=13)
+    var_file, _ = get_candidates(bam, str(tmp_path / "cand"), fa)
+    win_files = make_windows(var_file, str(tmp_path / "win"))
+    # prepend a window in a read-free region of a second contig... the
+    # simulator has one contig, so use a window far left where reads
+    # cannot overlap given minReadOverlap
+    lines = open(win_files[0]).read()
+    bad = "1 1 30 15,-A\n"
+    wf = tmp_path / "win_err.txt"
+    wf.write_text(bad + lines)
+
+    outs = {}
+    for name, eng_cls, kw in (
+            ("a", WindowEngine, dict(hmm_backend="jax")),
+            ("b", BatchedWindowEngine,
+             dict(batch_windows=8, dp_impl="xla", dtype=np.float64))):
+        params = Parameters()
+        params.do_diploid = True
+        params.file_name = str(tmp_path / name)
+        eng = eng_cls([bam], fa, params, **kw)
+        glf = str(tmp_path / f"{name}.glf.txt")
+        eng.detect_indels(str(wf), glf)
+        eng.close()
+        outs[name] = open(glf).read()
+    assert outs["a"] == outs["b"]
+    assert "error_" in outs["a"]
+    # the good window after the failing one still produced rows
+    assert "dip.map" in outs["a"]
