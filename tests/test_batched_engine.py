@@ -123,3 +123,32 @@ def test_batched_error_rows_match_streaming(tmp_path):
     assert "error_" in outs["a"]
     # the good window after the failing one still produced rows
     assert "dip.map" in outs["a"]
+
+
+def test_batched_equals_streaming_pooled(tmp_path):
+    """Pooled (VB-EM) GLF output parity between the engines."""
+    from dindel_tpu.sim import PlantedVariant, SimConfig, simulate
+
+    variants = [PlantedVariant(pos=650, var="-CT", genotype=1),
+                PlantedVariant(pos=1500, var="+AC", genotype=1)]
+    cfg = SimConfig(ref_len=2200, coverage=18, read_len=70)
+    fa, bam = simulate(str(tmp_path / "sim"), variants, cfg, seed=21)
+    var_file, _ = get_candidates(bam, str(tmp_path / "cand"), fa)
+    win_files = make_windows(var_file, str(tmp_path / "win"))
+
+    outs = {}
+    for name, eng_cls, kw in (
+            ("a", WindowEngine, dict(hmm_backend="jax")),
+            ("b", BatchedWindowEngine,
+             dict(batch_windows=8, dp_impl="xla", dtype=np.float64))):
+        params = Parameters()
+        params.estimate_hap_freqs = True
+        params.bayes_type = "singlevariant"
+        params.file_name = str(tmp_path / name)
+        eng = eng_cls([bam], fa, params, **kw)
+        glf = str(tmp_path / f"{name}.glf.txt")
+        eng.detect_indels(win_files[0], glf)
+        eng.close()
+        outs[name] = open(glf).read()
+    assert "singlevariant" in outs["a"]
+    assert outs["a"] == outs["b"]
