@@ -242,7 +242,8 @@ def get_reads(bams: List[BamReader], tid: str, left_pos: int, right_pos: int,
 
 
 def _copy_read(r: Read) -> Read:
-    import copy
-    c = copy.copy(r)
-    c.qual = r.qual  # shared, read-only
+    # fast shallow copy (copy.copy routes through __reduce_ex__ and was
+    # the hottest call in get_reads); qual stays shared, read-only
+    c = Read.__new__(Read)
+    c.__dict__.update(r.__dict__)
     return c

@@ -149,9 +149,13 @@ class NativeBamReader:
         qual_b = qual.raw[:sq.value]
         aux_b = aux.raw[:ax.value]
         out = []
+        fixed_l = fixed.tolist()
+        qname_off = qname_off.tolist()
+        cigar_off = cigar_off.tolist()
+        seq_off = seq_off.tolist()
+        aux_off = aux_off.tolist()
         for i in range(n):
-            tid, pos, mapq, flag, mtid, mpos, isize, _l_seq = (
-                int(x) for x in fixed[i])
+            tid, pos, mapq, flag, mtid, mpos, isize, _l_seq = fixed_l[i]
             cig = [(CIGAR_OPS[int(v) & 0xF], int(v) >> 4)
                    for v in cigar[cigar_off[i]:cigar_off[i + 1]]]
             s0, s1 = seq_off[i], seq_off[i + 1]
