@@ -32,9 +32,27 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--varFileIsOneBased", action="store_true")
     ap.add_argument("--outputRealignedBAM", action="store_true")
     ap.add_argument("--processRealignedBAM", default="no")
+    ap.add_argument("--outputGLF", action="store_true", default=True,
+                    help="output GLF for individuals in each bam file "
+                         "(always on, as in the reference: registration is "
+                         "commented out at DInDel.cpp:4108 and getParameters "
+                         "hardcodes outputGLF=true, DInDel.cpp:3975)")
+    ap.add_argument("--noOutputGLF", dest="outputGLF", action="store_false",
+                    help="suppress GLF rows (extension; the reference cannot)")
+    ap.add_argument("--printCallsOnly", action="store_true",
+                    help="print only genotypes where call_lik_ref>0.0001 "
+                         "(accepted for parity; the reference consumes it at "
+                         "DInDel.cpp:3966 but its only consumer is commented "
+                         "out, DInDel.cpp:566-571)")
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--doDiploid", action="store_true")
     ap.add_argument("--doPooled", action="store_true")
+    ap.add_argument("--mapUnmapped", action="store_true",
+                    help="remap unmapped reads for which mate is mapped "
+                         "(registration commented out in the reference, "
+                         "DInDel.cpp:4121; behavior per DInDel.cpp:3980-3982 "
+                         "'removed options' + the live getReads path "
+                         "DInDel.cpp:1083-1213)")
     ap.add_argument("--faster", action="store_true")
     ap.add_argument("--filterHaplotypes", action="store_true")
     ap.add_argument("--flankRefSeq", type=int, default=2)
@@ -48,6 +66,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--capMapQualThreshold", type=float, default=100.0)
     ap.add_argument("--capMapQualFast", type=float, default=45.0)
     ap.add_argument("--skipMaxHap", type=int, default=200)
+    ap.add_argument("--glfNumHap", type=int, default=5,
+                    help="number of haplotypes per glf-class (accepted for "
+                         "parity; never consumed by the reference — "
+                         "DInDel.cpp:4133,3914 are commented out)")
+    ap.add_argument("--numOutputTopHap", type=int, default=5,
+                    help="number of haplotype pairs output to haplotype file "
+                         "(accepted for parity; its consumer outputTopHaps is "
+                         "commented out in the reference, DInDel.cpp:566-571)")
     ap.add_argument("--minReadOverlap", type=int, default=20)
     ap.add_argument("--maxReadLength", type=int, default=500)
     ap.add_argument("--minCount", type=int, default=1)
@@ -58,8 +84,18 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--checkAllCIGARs", type=int, default=1)
     ap.add_argument("--filterReadAux")
     ap.add_argument("--pError", type=float, default=5e-4)
+    ap.add_argument("--modelType", default="probabilistic",
+                    choices=["probabilistic", "threshold"],
+                    help="observation model type (registration commented out "
+                         "in the reference, DInDel.cpp:4155; validation per "
+                         "ObservationModel.hpp:35-36)")
     ap.add_argument("--pMut", type=float, default=1e-5)
     ap.add_argument("--maxLengthIndel", type=int, default=5)
+    ap.add_argument("--pFirstgLO", type=float, default=0.01,
+                    help="probability of transition from off the haplotype "
+                         "to on the haplotype (registration commented out in "
+                         "the reference, DInDel.cpp:4158; default per "
+                         "ObservationModel.hpp:54)")
     ap.add_argument("--libFile")
     ap.add_argument("--opl", action="store_true",
                     help="output likelihoods for every read and haplotype")
@@ -124,6 +160,8 @@ def params_from_args(args) -> Parameters:
     p.bayes_a0 = args.bayesa0
     p.bayes_type = args.bayesType
     p.obs_params.p_error = args.pError
+    p.obs_params.model_type = args.modelType
+    p.obs_params.p_first_g_lo = args.pFirstgLO
     p.obs_params.p_mut = args.pMut
     p.obs_params.max_length_indel = args.maxLengthIndel
     p.obs_params.max_length_del = args.maxLengthIndel
@@ -147,6 +185,13 @@ def params_from_args(args) -> Parameters:
     p.estimate_hap_freqs = args.doPooled
     p.filter_haplotypes = args.filterHaplotypes
     p.slower = not args.faster
+    p.output_glf = args.outputGLF
+    p.print_calls_only = args.printCallsOnly
+    p.glf_num_hap = args.glfNumHap
+    p.num_output_top_hap = args.numOutputTopHap
+    if args.mapUnmapped:
+        p.map_unmapped_reads = True
+        p.obs_params.map_unmapped_reads = True
     p.output_pooled_likelihoods = args.opl
     p.change_ins_to_n = args.changeINStoN
     if args.filterReadAux:

@@ -49,7 +49,11 @@ class BatchedWindowEngine(WindowEngine):
     def __init__(self, *args, batch_windows: int = 16,
                  max_pairs_per_slab: int = 8192, dp_impl: str = "xla",
                  dtype=np.float32, **kwargs):
-        kwargs.setdefault("hmm_backend", "oracle")  # per-window fallback
+        # Per-window fallback backend when a whole slab faults on device:
+        # the batched XLA kernel (ms/window), NOT the float64 oracle
+        # (minutes/window at scale).  Bit-parity with the slab path is
+        # already guaranteed by the kernel equivalence tests.
+        kwargs.setdefault("hmm_backend", "jax")
         super().__init__(*args, **kwargs)
         self.batch_windows = batch_windows
         self.max_pairs_per_slab = max_pairs_per_slab
@@ -260,13 +264,38 @@ class BatchedWindowEngine(WindowEngine):
         if slab:
             slabs.append(slab)
 
+        def rescue_slab(slab):
+            """Slab-level fault isolation: if the packed device phase for
+            a slab throws, re-score each window individually through the
+            per-window backend (batched XLA kernel by default) so one
+            pathological window cannot take down its slab-mates.
+            Per-window failures surface as error_* rows via the entry."""
+            for e in slab:
+                try:
+                    liks, _on_hap = self.compute_likelihoods(
+                        e["haps"], e["reads"], e["left_pos"])
+                    out[e["index"]] = liks
+                except WindowError as err:
+                    e["error"] = "error_" + str(err).replace(" ", "_")
+                    self.stats.record_error(e["error"])
+
         in_flight: List[tuple] = []
         for s in slabs:
             if len(in_flight) >= self.PIPELINE_DEPTH:
-                finish_slab(in_flight.pop(0))
-            in_flight.append(stage_slab(s))
+                st = in_flight.pop(0)
+                try:
+                    finish_slab(st)
+                except Exception:
+                    rescue_slab(st[0])
+            try:
+                in_flight.append(stage_slab(s))
+            except Exception:
+                rescue_slab(s)
         for st in in_flight:
-            finish_slab(st)
+            try:
+                finish_slab(st)
+            except Exception:
+                rescue_slab(st[0])
         return out
 
     # ------------------------------------------------------------------

@@ -125,6 +125,42 @@ def test_batched_error_rows_match_streaming(tmp_path):
     assert "dip.map" in outs["a"]
 
 
+def test_slab_fault_rescued_by_xla_fallback(tmp_path, monkeypatch):
+    """If the packed device phase faults for a whole slab, every window in
+    it must be re-scored individually through the batched XLA backend (not
+    the float64 oracle) and the GLF output must be unchanged."""
+    import dindel_tpu.engine.batched as batched_mod
+
+    variants = [PlantedVariant(pos=700, var="-ACG", genotype=1),
+                PlantedVariant(pos=1500, var="+TT", genotype=2)]
+    cfg = SimConfig(ref_len=2200, coverage=18, read_len=70)
+    fa, bam = simulate(str(tmp_path / "sim"), variants, cfg, seed=13)
+    var_file, _ = get_candidates(bam, str(tmp_path / "cand"), fa)
+    win_files = make_windows(var_file, str(tmp_path / "win"))
+
+    outs = {}
+    for name, sabotage in (("a", False), ("b", True)):
+        if sabotage:
+            def boom(*a, **k):
+                raise RuntimeError("injected slab fault")
+            monkeypatch.setattr(batched_mod, "run_packed_compact", boom)
+            monkeypatch.setattr(batched_mod, "run_packed", boom)
+        params = Parameters()
+        params.do_diploid = True
+        params.file_name = str(tmp_path / name)
+        eng = BatchedWindowEngine([bam], fa, params, batch_windows=8,
+                                  dp_impl="xla", dtype=np.float64)
+        if sabotage:
+            assert eng.hmm_backend == "jax"  # fallback is XLA, not oracle
+        glf = str(tmp_path / f"{name}.glf.txt")
+        eng.detect_indels(win_files[0], glf)
+        assert eng.stats.windows_ok >= 2
+        eng.close()
+        outs[name] = open(glf).read()
+    assert "dip.map" in outs["a"]
+    assert outs["a"] == outs["b"]
+
+
 def test_batched_equals_streaming_pooled(tmp_path):
     """Pooled (VB-EM) GLF output parity between the engines."""
     from dindel_tpu.sim import PlantedVariant, SimConfig, simulate
