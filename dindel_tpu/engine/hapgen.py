@@ -461,6 +461,12 @@ class HDIterator:
                     new_seq = hap.seq
                     new_ref_pos = list(ref_pos)
                     if var.type == DEL:
+                        # NB: when the deletion extends past the haplotype
+                        # tail the reference is undefined behavior
+                        # (vector::erase past end,
+                        # HaplotypeDistribution.hpp:262-266, crashes under
+                        # ASan); Python slice semantics clamp, which is the
+                        # only defined extension of the contract
                         new_seq = new_seq[:i] + new_seq[i + var.size():]
                         del new_ref_pos[i:i + var.size()]
                         changed = True

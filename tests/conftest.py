@@ -57,6 +57,16 @@ def ref_hmm_exe():
                               "/root/reference/ObservationModelFB.cpp"])
 
 
+def ref_hapgen_exe():
+    """Build (if possible) the reference haplotype-generation differential
+    driver (HaplotypeDistribution + HDIterator2)."""
+    if not Path("/root/reference/HaplotypeDistribution.cpp").exists():
+        return None
+    return _build("ref_hapgen", [REFSHIM / "hapgen_driver.cpp",
+                                 "/root/reference/HaplotypeDistribution.cpp",
+                                 "/root/reference/HapBlock.cpp"])
+
+
 def ref_faster_exe():
     """Build (if possible) the reference sparse-HMM (--faster)
     differential driver."""
