@@ -3,7 +3,14 @@ DetInDel::filterHaplotypes (DInDel.cpp:1932-2100).
 
 A haplotype survives only if each of its indels is covered by at least one
 clean read (no indels, not off-hap at high mapping quality) matching the
-flank interval with at most maxMismatch mismatches."""
+flank interval with at most maxMismatch mismatches.
+
+NB: the reference's coverage loops run ``b<=hpos.size()``
+(DInDel.cpp:1995,2040), reading one element past the vector end — undefined
+behavior whose effect depends on heap garbage (it can add a phantom base to
+the coverage/mismatch counts).  This port implements the defined-behavior
+subset (``b < len``); the differential driver pins the reference's phantom
+element so both sides agree (tests/test_callers_ref.py)."""
 
 from __future__ import annotations
 

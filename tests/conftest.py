@@ -32,7 +32,7 @@ REF_HMM = REFSHIM / "ref_hmm"
 REF_NW = REFSHIM / "ref_nw"
 
 
-def _build(target: str, sources):
+def _build(target: str, sources, extra=()):
     exe = REFSHIM / target
     srcs = [str(s) for s in sources]
     newest = max(os.path.getmtime(s) for s in srcs if os.path.exists(s))
@@ -41,7 +41,7 @@ def _build(target: str, sources):
     cmd = ["g++", "-O2", "-std=c++11", "-Wno-deprecated",
            "-include", str(REFSHIM / "stringhash_preempt.h"),
            "-I", str(REFSHIM), "-I", "/root/reference",
-           *srcs, "-o", str(exe)]
+           *extra, *srcs, "-o", str(exe)]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
     except (subprocess.CalledProcessError, FileNotFoundError):
@@ -65,6 +65,20 @@ def ref_hapgen_exe():
     return _build("ref_hapgen", [REFSHIM / "hapgen_driver.cpp",
                                  "/root/reference/HaplotypeDistribution.cpp",
                                  "/root/reference/HapBlock.cpp"])
+
+
+def ref_callers_exe():
+    """Build (if possible) the reference diploid/pooled-caller differential
+    driver (compiles the whole DInDel.cpp behind stub bam/boost headers)."""
+    if not Path("/root/reference/DInDel.cpp").exists():
+        return None
+    return _build(
+        "ref_callers",
+        [REFSHIM / "callers_driver.cpp", "/root/reference/DInDel.cpp",
+         "/root/reference/ObservationModelFB.cpp",
+         "/root/reference/HaplotypeDistribution.cpp",
+         "/root/reference/HapBlock.cpp", "/root/reference/Faster.cpp"],
+        extra=["-w", "-fpermissive", "-I", "/root/reference/seqan_library"])
 
 
 def ref_faster_exe():
