@@ -29,7 +29,7 @@ from ..config import Parameters
 from ..model import Haplotype, MLAlignment, Read
 from ..out.glf import OutputData, make_glf_output
 from ..variants import AlignedCandidates, read_window_file
-from ..hmm.batch import (BatchedPairHMM, decode_map_alignments,
+from ..hmm.batch import (BatchedPairHMM, decode_liks_view,
                          merge_compact, pack_pairs, pack_pairs_compact,
                          pad_compact, run_packed, run_packed_compact,
                          _round_up)
@@ -244,7 +244,7 @@ class BatchedWindowEngine(WindowEngine):
                               read_len=pk["read_len"],
                               hap_codes=pk["hap_codes_h"][pk["hap_idx"]],
                               read_codes=pk["read_codes_r"][pk["read_idx"]])
-                out[e["index"]] = decode_map_alignments(
+                out[e["index"]] = decode_liks_view(
                     e["haps"], e["reads"], pk, ll[sl], off_hap[sl],
                     off_hap_hmq[sl], ll_off[sl], ll_on[sl], map_state[sl],
                     p.obs_params)
@@ -303,12 +303,8 @@ class BatchedWindowEngine(WindowEngine):
         p = self.params
         haps = e["haps"]
         reads = e["reads"]
-        for h in range(len(haps)):
-            for r in range(len(reads)):
-                if liks[h][r].ll > 0.1:
-                    raise RuntimeError("Likelihood>0")
-                if math.isnan(liks[h][r].ll) or math.isinf(liks[h][r].ll):
-                    raise WindowError("Nan detected")
+        from .window import check_guards_and_on_hap
+        on_hap_flags = check_guards_and_on_hap(liks, len(haps), len(reads))
         rows: List[dict] = []
         with self.stats.stage("calling"):
             if p.estimate_hap_freqs:
@@ -334,11 +330,7 @@ class BatchedWindowEngine(WindowEngine):
                 # order/overwrite quirk when both callers are on) as the
                 # streaming engine (DInDel.cpp:498-534, 589-633); on_hap
                 # from the decoded HMQ flags (DInDel.cpp:1717-1720)
-                on_hap = [0] * len(reads)
-                for h in range(len(haps)):
-                    for r in range(len(reads)):
-                        if not liks[h][r].off_hap_hmq:
-                            on_hap[r] = 1
+                on_hap = on_hap_flags
                 if p.do_diploid:
                     self._write_realigned_bam(
                         e["index"], haps, reads, liks, on_hap,

@@ -109,6 +109,7 @@ class HaplotypeDistribution:
     def __init__(self, mid_pos: int, ref_seq: str, ref_seq_start: int):
         self.mid_pos = mid_pos
         self.blocks: List[HapBlock] = []
+        self._starts: List[int] = []  # parallel pos0 list for plain bisect
         self.insertions: Dict[int, HapBlock] = {}
         bs = 4
         nchunks = len(ref_seq) // bs + (0 if len(ref_seq) % bs == 0 else 1)
@@ -118,12 +119,18 @@ class HaplotypeDistribution:
 
     # --- block algebra ---
 
-    def _sort_blocks(self) -> None:
-        self.blocks.sort(key=lambda b: b.start())
-
     def _new_block(self, hb: HapBlock) -> None:
-        self.blocks.append(hb)
-        self._sort_blocks()
+        # blocks stay position-sorted; insertion at the bisect point is
+        # equivalent to append + stable sort by start (an equal-start
+        # newcomer lands after the incumbent either way)
+        import bisect
+        i = bisect.bisect_right(self._starts, hb.pos0)
+        self.blocks.insert(i, hb)
+        self._starts.insert(i, hb.pos0)
+
+    def _del_block(self, idx: int) -> None:
+        del self.blocks[idx]
+        del self._starts[idx]
 
     def _first_overlapping(self, seq_start: int, seq_end: int) -> int:
         # blocks are position-sorted and non-overlapping (the reference's
@@ -133,8 +140,7 @@ class HaplotypeDistribution:
         # scan is asserted in tests/test_engine_misc.py
         import bisect
         blocks = self.blocks
-        i = bisect.bisect_right(blocks, seq_start,
-                                key=lambda b: b.pos0) - 1
+        i = bisect.bisect_right(self._starts, seq_start) - 1
         if i >= 0 and blocks[i].pos1 >= seq_start:
             return i
         i += 1
@@ -148,15 +154,15 @@ class HaplotypeDistribution:
             raise HapGenError("Empty haplotype!")
         seq_end = seq_start + len(seq) - 1
         block = self.blocks[idx]
-        if seq_start < block.start() or seq_end > block.end():
+        if seq_start < block.pos0 or seq_end > block.pos1:
             raise HapGenError("seq outside of block boundaries")
-        len_a = seq_start - block.start()
+        len_a = seq_start - block.pos0
         len_b = len(seq)
-        len_c = 0 if block.end() == seq_end else block.end() - seq_end
-        hb_a = HapBlock.sub_block(block, block.start(), len_a) if len_a else None
-        hb_b = HapBlock.sub_block(block, block.start() + len_a, len_b)
-        hb_c = HapBlock.sub_block(block, hb_b.end() + 1, len_c) if len_c else None
-        del self.blocks[idx]
+        len_c = 0 if block.pos1 == seq_end else block.pos1 - seq_end
+        hb_a = HapBlock.sub_block(block, block.pos0, len_a) if len_a else None
+        hb_b = HapBlock.sub_block(block, block.pos0 + len_a, len_b)
+        hb_c = HapBlock.sub_block(block, hb_b.pos1 + 1, len_c) if len_c else None
+        self._del_block(idx)
         self._new_block(hb_b)
         if len(seq) != hb_b.length() or seq_start != hb_b.start():
             raise HapGenError("updateBlock-seq mismatch.")
@@ -173,27 +179,27 @@ class HaplotypeDistribution:
             idx = self._first_overlapping(seq_start, seq_end)
             if idx != -1:
                 block = self.blocks[idx]
-                if block.start() < seq_start:
-                    if seq_end > block.end():
+                if block.pos0 < seq_start:
+                    if seq_end > block.pos1:
                         # block **********   seq        ********
-                        overlap = block.end() - seq_start + 1
+                        overlap = block.pos1 - seq_start + 1
                         self._split_block(idx, seq[:overlap], typ, seq_start)
                         self._insert_seq(seq[overlap:], typ, seq_start + overlap)
                     else:
                         # block *************  seq   *****
                         self._split_block(idx, seq, typ, seq_start)
                 else:
-                    if block.end() > seq_end:
+                    if block.pos1 > seq_end:
                         # block    ***********  seq *******
-                        overlap = seq_end - block.start() + 1
-                        self._split_block(idx, seq[len(seq) - overlap:], typ, block.start())
+                        overlap = seq_end - block.pos0 + 1
+                        self._split_block(idx, seq[len(seq) - overlap:], typ, block.pos0)
                         if overlap < len(seq):
                             self._new_block(HapBlock(seq[:len(seq) - overlap], typ, seq_start))
                     else:
                         # block    ***** ***   seq ******************
-                        len_a = block.start() - seq_start
-                        len_b = block.end() - block.start() + 1
-                        len_c = seq_end - block.end()
+                        len_a = block.pos0 - seq_start
+                        len_b = block.pos1 - block.pos0 + 1
+                        len_c = seq_end - block.pos1
                         if len_a:
                             self._new_block(HapBlock(seq[:len_a], typ, seq_start))
                         if len(seq[len_a:len_a + len_b]) != block.length():

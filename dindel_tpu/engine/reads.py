@@ -54,6 +54,7 @@ def read_from_bam(rec: BamRecord, libraries: LibraryCollection,
              mate_pos=rec.mpos, mate_len=-1, pool_id=pool_id,
              library=library, qname=rec.qname, bam=rec)
     r.unknown_lib = unknown_lib
+    r.bam_end = rec.end_pos()  # cached; the cascade reads it every window
     return r
 
 
@@ -83,8 +84,13 @@ LEFTPAD = 200  # DInDel.cpp:917
 
 def get_reads(bams: List[BamReader], tid: str, left_pos: int, right_pos: int,
               params: Parameters, libraries: LibraryCollection,
-              buf: ReadBuffer) -> List[Read]:
-    """DetInDel::getReads (DInDel.cpp:885-1262)."""
+              buf: ReadBuffer, impl: str = "array") -> List[Read]:
+    """DetInDel::getReads (DInDel.cpp:885-1262).
+
+    impl='array' runs the filter cascade vectorized over the buffer
+    (production path); impl='loop' is the read-at-a-time port, kept as
+    the reference implementation — the two are asserted identical in
+    tests/test_reads_array.py."""
     if left_pos < buf.old_left_pos:
         raise RuntimeError("Windows are not sorted!")
     if int(right_pos - left_pos) < 3 * params.min_read_overlap:
@@ -135,10 +141,20 @@ def get_reads(bams: List[BamReader], tid: str, left_pos: int, right_pos: int,
 
     # duplicate check (DInDel.cpp:1018-1034)
     qname_count: Dict[str, int] = {}
+    qids = []
     for r in buf.reads:
-        qname_count[r.qname] = qname_count.get(r.qname, 0) + 1
-        if qname_count[r.qname] > 2:
-            raise WindowError("duplicate reads!")
+        c = qname_count.get(r.qname)
+        if c is None:
+            qname_count[r.qname] = (len(qname_count), 1)
+        else:
+            if c[1] + 1 > 2:
+                raise WindowError("duplicate reads!")
+            qname_count[r.qname] = (c[0], c[1] + 1)
+        qids.append(qname_count[r.qname][0])
+
+    if impl == "array":
+        return _cascade_array(buf, qids, left_pos, right_pos, left_most,
+                              right_most, params)
 
     reads = [_copy_read(r) for r in buf.reads]
 
@@ -247,3 +263,144 @@ def _copy_read(r: Read) -> Read:
     c = Read.__new__(Read)
     c.__dict__.update(r.__dict__)
     return c
+
+
+def _cascade_array(buf: ReadBuffer, qids: List[int], left_pos: int,
+                   right_pos: int, left_most: int, right_most: int,
+                   params: Parameters) -> List[Read]:
+    """The getReads filter cascade (DInDel.cpp:1068-1226) vectorized over
+    the buffer; Read objects are copied only for the survivors.  Behavior
+    is asserted identical to the loop implementation in
+    tests/test_reads_array.py."""
+    import numpy as np
+
+    reads_buf = buf.reads
+    n = len(reads_buf)
+    pos = np.fromiter((r.pos for r in reads_buf), np.int64, n)
+    size = np.fromiter((len(r.seq) for r in reads_buf), np.int64, n)
+    end = np.fromiter((r.bam_end for r in reads_buf), np.int64, n)
+    unmapped = np.fromiter((r.is_unmapped for r in reads_buf), bool, n)
+    mate_unm = np.fromiter((r.mate_is_unmapped for r in reads_buf), bool, n)
+    same_tid = np.fromiter((r.same_tid_as_mate for r in reads_buf), bool, n)
+    mq = np.fromiter((r.map_qual for r in reads_buf), np.float64, n)
+    qid = np.asarray(qids, np.int64)
+
+    # pair partner (same qname; <=2 per qname guaranteed by the dup check)
+    partner = np.full(n, -1, np.int64)
+    if n:
+        order = np.argsort(qid, kind="stable")
+        qs = qid[order]
+        adj = qs[1:] == qs[:-1]
+        a = order[:-1][adj]
+        b = order[1:][adj]
+        partner[a] = b
+        partner[b] = a
+    has_partner = partner != -1
+    # partner views (safe defaults where absent)
+    psize = np.where(has_partner, size[np.clip(partner, 0, None)], -1)
+    ppos = np.where(has_partner, pos[np.clip(partner, 0, None)], -1)
+
+    # NB: the reference's branch bodies ASSIGN filt (DInDel.cpp:1103-1213),
+    # so a successful mate lookup clears the earlier size/extent filters —
+    # quirk preserved by np.where overwrites below, matching the loop port
+    filt = ((size > params.max_read_length)
+            | (end < left_most) | (pos > right_most))
+    mapped = ~unmapped
+    overlap_bad = ((pos + size < left_pos + params.min_read_overlap)
+                   | (pos > right_pos - params.min_read_overlap))
+    filt = np.where(mapped & overlap_bad, True, filt)
+
+    mate_pos_new = np.fromiter((r.mate_pos for r in reads_buf), np.int64, n)
+    mate_len_new = np.full(n, -1, np.int64)
+    mq_new = mq.copy()
+
+    # mapped read, mapped mate on the same tid: must find its pair in the
+    # buffer (DInDel.cpp:1103-1140); cross-tid mates pass unfiltered
+    caseA = mapped & ~overlap_bad & ~mate_unm & same_tid
+    partner_mapped = has_partner & ~unmapped[np.clip(partner, 0, None)]
+    ok_a = caseA & partner_mapped
+    filt = np.where(caseA, ~partner_mapped, filt)
+    mate_len_new = np.where(ok_a, psize, mate_len_new)
+    mate_pos_new = np.where(ok_a, ppos, mate_pos_new)
+
+    # mapped read, unmapped mate: matePos := own pos; mate must be present
+    caseB = mapped & ~overlap_bad & mate_unm
+    partner_unmapped = has_partner & unmapped[np.clip(partner, 0, None)]
+    mate_pos_new = np.where(caseB, pos, mate_pos_new)
+    ok_b = caseB & partner_unmapped
+    filt = np.where(caseB, ~partner_unmapped, filt)
+    mate_len_new = np.where(ok_b, psize, mate_len_new)
+
+    # unmapped reads: realign near the mapped mate when enabled
+    # (DInDel.cpp:1159-1213); per-read Python, they are few
+    revcomp = np.zeros(n, bool)
+    if unmapped.any():
+        if params.map_unmapped_reads:
+            for i in np.nonzero(unmapped)[0]:
+                j = partner[i]
+                if j == -1 or unmapped[j]:
+                    filt[i] = True
+                    continue
+                mate = reads_buf[j]
+                max_insert = mate.get_library().get_max_insert_size()
+                rpos = mate.pos
+                if mate.on_reverse_strand:
+                    range_l, range_r = rpos - max_insert, rpos
+                else:
+                    range_l, range_r = rpos, rpos + max_insert
+                if range_r > left_pos and range_l < right_pos:
+                    filt[i] = False
+                    # order-dependent reference quirk (DInDel.cpp:1180):
+                    # mapQual is copied from the mate AFTER the mate's own
+                    # filtering may have set it to -1 — but only when the
+                    # mate precedes this read in the buffer.  An unmapped
+                    # read whose earlier mapped mate was filtered is thus
+                    # dropped at the mapQual cutoff.
+                    mq_new[i] = -1.0 if (filt[j] and j < i) else mq[j]
+                    mate_pos_new[i] = mate.pos
+                    mate_len_new[i] = len(mate.seq)
+                    if reads_buf[i].on_reverse_strand == mate.on_reverse_strand:
+                        revcomp[i] = True
+                else:
+                    filt[i] = True
+        else:
+            filt = np.where(unmapped, True, filt)
+
+    mq_new[filt] = -1.0
+
+    # stable sort by decreasing mapQual, cap maxReads (DInDel.cpp:1218-1226)
+    min_map_qual = max(params.map_qual_threshold, 0.0)
+    order = np.argsort(-mq_new, kind="stable")
+    sorted_mq = mq_new[order]
+    below = sorted_mq < min_map_qual
+    cut = int(np.argmax(below)) if below.any() else n
+    cut = min(cut, params.max_reads)
+
+    reads: List[Read] = []
+    for i in order[:cut]:
+        i = int(i)
+        r = _copy_read(reads_buf[i])
+        r.map_qual = float(mq_new[i])
+        r.mate_pos = int(mate_pos_new[i])
+        if mate_len_new[i] != -1:
+            r.mate_len = int(mate_len_new[i])
+        else:
+            r.mate_len = -1
+        if revcomp[i]:
+            reverse_in_place(r)
+            complement_in_place(r)
+        if r.mate_pos == -1 and r.is_paired and not r.mate_is_unmapped:
+            r.mate_pos = r.pos
+        reads.append(r)
+
+    if params.filter_read_aux and len(params.filter_read_aux) > 1:
+        exclude = params.filter_read_aux[0] != "+"
+        match = params.filter_read_aux[1:]
+        reads = [r for r in reads
+                 if (match in r.bam.aux_string()) != exclude]
+
+    if len(reads) < 2:
+        raise WindowError("too_few_reads")
+    if len(reads) >= params.max_reads:
+        raise WindowError("above_read_count_threshold")
+    return reads

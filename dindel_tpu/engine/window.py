@@ -78,6 +78,35 @@ def _show_alignments_per_haplotype(haps: List[Haplotype], reads: List[Read],
                   + f"  ll={ml.ll:.4f}")
 
 
+def check_guards_and_on_hap(liks, nh: int, nr: int):
+    """Positive-loglik abort + NaN guard + on_hap flags over the liks
+    matrix (DInDel.cpp:1717-1735), array-level for LiksView so the guards
+    do not force per-pair materialization."""
+    from ..hmm.batch import LiksView
+    if isinstance(liks, LiksView):
+        import numpy as np
+        ll = liks.ll2d
+        bad = (ll > 0.1) | ~np.isfinite(ll)
+        if bad.any():
+            # first offending pair in the reference's h-major scan order
+            h, r = divmod(int(np.argmax(bad.ravel())), nr)
+            if ll[h, r] > 0.1:
+                raise RuntimeError("Likelihood>0")
+            raise WindowError("Nan detected")
+        return (~liks.off_hap_hmq2d).any(axis=0).astype(int).tolist()
+    on_hap = [0] * nr
+    for h in range(nh):
+        for r in range(nr):
+            ml = liks[h][r]
+            if not ml.off_hap_hmq:
+                on_hap[r] = 1
+            if ml.ll > 0.1:
+                raise RuntimeError("Likelihood>0")
+            if math.isnan(ml.ll) or math.isinf(ml.ll):
+                raise WindowError("Nan detected")
+    return on_hap
+
+
 def _safe_cigar(hap, read, ml, ref_seq_pos):
     from .realign_bam import CigarError, get_cigar
     try:
@@ -214,16 +243,7 @@ class WindowEngine:
         else:
             liks = [[pair_hmm_single(hap, r, left_pos, self.params.obs_params)
                      for r in reads] for hap in haps]
-        on_hap = [0] * len(reads)
-        for h in range(len(haps)):
-            for r in range(len(reads)):
-                ml = liks[h][r]
-                if not ml.off_hap_hmq:
-                    on_hap[r] = 1
-                if ml.ll > 0.1:
-                    raise RuntimeError("Likelihood>0")
-                if math.isnan(ml.ll) or math.isinf(ml.ll):
-                    raise WindowError("Nan detected")
+        on_hap = check_guards_and_on_hap(liks, len(haps), len(reads))
         return liks, on_hap
 
     # ------------------------------------------------------------------

@@ -1025,9 +1025,307 @@ class BatchedPairHMM:
         ll_on = np.asarray(ll_on)
         map_state = np.asarray(map_state)
 
-        return decode_map_alignments(haps, reads, pk, ll, off_hap,
-                                     off_hap_hmq, ll_off, ll_on, map_state,
-                                     p)
+        return decode_liks_view(haps, reads, pk, ll, off_hap,
+                                off_hap_hmq, ll_off, ll_on, map_state, p)
+
+
+class LiksView:
+    """Array-backed liks matrix (nh x nr) over the device outputs.
+
+    Callers that understand it (infer/, engine/) consume whole-matrix
+    arrays (``ll2d``, ``off_hap2d``, ...) directly; ``liks[h][r]`` still
+    yields a full MLAlignment, materialized lazily and cached, so every
+    per-pair consumer (realigned-BAM CIGARs, --opl dumps, oracle-parity
+    tests) keeps working unchanged.  The materialization body is
+    field-for-field the per-base-loop decode (tests/test_report_fast.py);
+    arrays-vs-materialized equivalence is asserted in
+    tests/test_liks_view.py."""
+
+    def __init__(self, haps: List[Haplotype], reads: List[Read],
+                 pk: dict, ll, off_hap, off_hap_hmq, ll_off, ll_on,
+                 map_state, p: ObservationModelParameters):
+        from ..model import HPOS_LO, HPOS_RO
+
+        self.haps = haps
+        self.reads = reads
+        self.p = p
+        nh, nr = len(haps), len(reads)
+        self.nh = nh
+        self.nr = nr
+        H_pad = pk["H_pad"]
+        B = nh * nr
+        L_pad = pk["L_pad"]
+        S_half_f = H_pad + 2
+        hap_len = pk["hap_len"]
+        read_len = pk["read_len"]
+        self.H_pad = H_pad
+        self.L_pad = L_pad
+        self.read_len = read_len
+        ins_all = map_state >= S_half_f
+        x_all = map_state % S_half_f
+        ROh_all = (hap_len + 1)[:, None]
+        xs = np.where(x_all == H_pad + 1, ROh_all, x_all)
+        col = np.arange(L_pad)[None, :]
+        validc = col < read_len[:, None]
+        on = (xs >= 1) & (xs <= hap_len[:, None]) & validc
+        ins_ev = ins_all & on
+        noins_on = on & ~ins_all
+        del_ev = (noins_on[:, :-1] & ~ins_all[:, 1:]
+                  & (col[:, 1:] < read_len[:, None])
+                  & (xs[:, 1:] - xs[:, :-1] > 1))
+        has_event = ins_ev.any(axis=1) | del_ev.any(axis=1)
+
+        hpos_all = np.where(noins_on, xs - 1,
+                            np.where(xs == 0, HPOS_LO, HPOS_RO))
+        big = np.iinfo(np.int32).max
+        fb_all = np.where(noins_on, xs - 1, big).min(axis=1)
+        fb_all = np.where(fb_all == big, -1, fb_all)
+        lb_all = np.where(noins_on, xs - 1, -1).max(axis=1)
+
+        qual_b = np.zeros((nr, L_pad))
+        for ri, r in enumerate(reads):
+            qual_b[ri, :r.size()] = r.qual
+        qual_b = np.tile(qual_b, (nh, 1))
+        bqt = noins_on & (qual_b > p.check_base_qual_threshold)
+        hc = np.take_along_axis(pk["hap_codes"],
+                                np.clip(xs - 1, 0, H_pad - 1), axis=1)
+        mism = noins_on & (pk["read_codes"] != hc)
+        n_bqt_all = bqt.sum(axis=1)
+        n_mm_bqt_all = (mism & bqt).sum(axis=1)
+        n_mm_left_all = (mism & (col < 6)).sum(axis=1)
+        n_mm_right_all = (mism & (col > read_len[:, None] - 6)).sum(axis=1)
+        num_mm_all = (mism & (qual_b > 0.95)).sum(axis=1)
+        # sequential (loop-order) float accumulation for bit-parity with
+        # the per-base loop: column-at-a-time adds, masked terms as +0.0
+        with np.errstate(divide="ignore"):
+            log10q = np.where(bqt,
+                              np.log10(np.maximum(1.0 - qual_b, 1e-300)),
+                              0.0)
+        mlogbq_all = np.zeros(B)
+        for b in range(L_pad):
+            mlogbq_all = mlogbq_all + log10q[:, b]
+
+        self.ll = np.asarray(ll, np.float64)
+        self.off_hap = np.asarray(off_hap, bool)
+        self.off_hap_hmq = np.asarray(off_hap_hmq, bool)
+        self.ll_off = np.asarray(ll_off, np.float64)
+        self.ll_on = np.asarray(ll_on, np.float64)
+        self.xs = xs
+        self.ins_all = ins_all
+        self.del_ev = del_ev
+        self.has_event = has_event
+        self.any_mism = mism.any(axis=1)
+        self.mism = mism
+        self.hpos_all = hpos_all
+        self.fb = fb_all
+        self.lb = lb_all
+        self.n_bqt = n_bqt_all
+        self.n_mm_bqt = n_mm_bqt_all
+        self.n_mm_left = n_mm_left_all
+        self.n_mm_right = n_mm_right_all
+        self.num_mm = num_mm_all
+        self.m_log_bq = mlogbq_all
+        # indel events are enumerated lazily per pair (has_event flags
+        # which pairs carry any; a pair has num_indels == 0 iff not
+        # has_event, which is what the filter/selection logic needs)
+        self._events = {}
+        self._nind_rows = {}
+        self._cache = {}
+
+    # --- 2-D (nh, nr) views of the flat hap-major arrays ---
+    @property
+    def ll2d(self):
+        return self.ll.reshape(self.nh, self.nr)
+
+    @property
+    def off_hap2d(self):
+        return self.off_hap.reshape(self.nh, self.nr)
+
+    @property
+    def off_hap_hmq2d(self):
+        return self.off_hap_hmq.reshape(self.nh, self.nr)
+
+    def __len__(self):
+        return self.nh
+
+    def __getitem__(self, h):
+        return _LazyRow(self, h)
+
+    def __iter__(self):
+        return (self[h] for h in range(self.nh))
+
+    def materialize(self) -> List[List[MLAlignment]]:
+        return [[self._ml(h, r) for r in range(self.nr)]
+                for h in range(self.nh)]
+
+    def events(self, h: int, r: int):
+        """MAP-path indel events of pair (h, r), or None."""
+        if not self.has_event[h * self.nr + r]:
+            return None
+        key = (h, r)
+        ev = self._events.get(key)
+        if ev is None:
+            ev = self._pair_events(h, r)
+            self._events[key] = ev
+        return ev
+
+    def n_indel_entries_row(self, h: int) -> np.ndarray:
+        """len(liks[h][r].indels) over r (distinct indel positions on the
+        MAP path), computed once per haplotype row."""
+        row = self._nind_rows.get(h)
+        if row is None:
+            row = np.zeros(self.nr, np.int64)
+            base = h * self.nr
+            for r in np.nonzero(self.has_event[base:base + self.nr])[0]:
+                ev = self.events(h, int(r))
+                row[int(r)] = len({e[-1] for e in ev})
+            self._nind_rows[h] = row
+        return row
+
+    # ------------------------------------------------------------------
+    def _pair_events(self, hi: int, ri: int):
+        """MAP-path indel events for pair (hi, ri): (b, 'D', pos) or
+        (entry, 'I', end, pos), sorted by read position."""
+        i = hi * self.nr + ri
+        L = self.reads[ri].size()
+        Hh = self.haps[hi].size()
+        xs = self.xs
+        events = []
+        for b in np.nonzero(self.del_ev[i, :max(L - 1, 0)])[0]:
+            events.append((int(b), "D", int(xs[i, b])))
+        ins_row = self.ins_all[i, :L]
+        if ins_row.any():
+            # maximal ins runs; the loop enters a run at its first base
+            # with 0 < x <= H and consumes to the run end (earlier bases
+            # keep their LO/RO codes)
+            d = np.diff(ins_row.astype(np.int8))
+            starts = list(np.nonzero(d == 1)[0] + 1)
+            ends = list(np.nonzero(d == -1)[0])
+            if ins_row[0]:
+                starts.insert(0, 0)
+            if ins_row[L - 1]:
+                ends.append(L - 1)
+            for a, e in zip(starts, ends):
+                entry = -1
+                for b in range(a, e + 1):
+                    xv = int(xs[i, b])
+                    if 0 < xv <= Hh:
+                        entry = b
+                        break
+                if entry >= 0:
+                    events.append((entry, "I", int(e), int(xs[i, entry])))
+        events.sort(key=lambda t: t[0])
+        return events
+
+    def _ml(self, hi: int, ri: int) -> MLAlignment:
+        from ..variants import AlignedVariant
+        from ..model import HPOS_INS
+
+        cached = self._cache.get((hi, ri))
+        if cached is not None:
+            return cached
+        i = hi * self.nr + ri
+        hap = self.haps[hi]
+        r = self.reads[ri]
+        L = r.size()
+        align_ref = "R" * hap.size()
+        xs = self.xs
+        ml = MLAlignment()
+        ml.ll = float(self.ll[i])
+        ml.off_hap = bool(self.off_hap[i])
+        ml.off_hap_hmq = bool(self.off_hap_hmq[i])
+        ml.ll_off = float(self.ll_off[i])
+        ml.ll_on = float(self.ll_on[i])
+        ml.hpos = self.hpos_all[i, :L].tolist()
+        ml.first_base = int(self.fb[i])
+        ml.last_base = int(self.lb[i])
+        ml.n_bqt = int(self.n_bqt[i])
+        ml.m_log_bq = float(self.m_log_bq[i])
+        ml.n_mm_bqt = int(self.n_mm_bqt[i])
+        ml.n_mm_left = int(self.n_mm_left[i])
+        ml.n_mm_right = int(self.n_mm_right[i])
+        ml.num_mismatch = int(self.num_mm[i])
+        align = None
+        if self.any_mism[i]:
+            align = list(align_ref)
+            for b in np.nonzero(self.mism[i, :L])[0]:
+                spos = int(xs[i, b]) - 1
+                ml.snps[spos] = AlignedVariant(
+                    hap.seq[spos] + "=>" + r.seq[b],
+                    start_hap=spos, end_hap=spos,
+                    start_read=int(b), end_read=int(b))
+                align[spos] = r.seq[b]
+        events = self.events(hi, ri)
+        if events:
+            # patch the indel events onto the vectorized decode (same
+            # event rules as _report_variants; validated field-for-field
+            # in tests/test_report_fast.py)
+            if align is None:
+                align = list(align_ref)
+            for ev in events:
+                if ev[1] == "D":
+                    b, _, pos = ev
+                    ns = int(xs[i, b + 1])
+                    ln = ns - pos - 1
+                    for y in range(pos, pos + ln):
+                        align[y] = "D"
+                    ml.indels[pos] = AlignedVariant(
+                        "-" + hap.seq[pos:pos + ln],
+                        start_hap=pos, end_hap=pos + ln - 1,
+                        start_read=b, end_read=b + 1)
+                    ml.num_indels += 1
+                else:
+                    entry, _, e, pos = ev
+                    for b in range(entry, e + 1):
+                        ml.hpos[b] = HPOS_INS
+                    ml.indels[pos] = AlignedVariant(
+                        "+" + r.seq[entry:e + 1],
+                        start_hap=pos, end_hap=pos,
+                        start_read=entry, end_read=e)
+                    ml.num_indels += 1
+        ml.align = "".join(align) if align is not None else align_ref
+        for pos_, av in hap.indels.items():
+            ml.hap_indel_covered[pos_] = av.is_covered(
+                self.p.pad_cover, ml.first_base, ml.last_base)
+        for pos_, av in hap.snps.items():
+            ml.hap_snp_covered[pos_] = av.is_covered(
+                self.p.pad_cover, ml.first_base, ml.last_base)
+        self._cache[(hi, ri)] = ml
+        return ml
+
+
+class _LazyRow:
+    """liks[h] under a LiksView: list-like row of lazy MLAlignments."""
+
+    __slots__ = ("_v", "_h")
+
+    def __init__(self, view: LiksView, h: int):
+        self._v = view
+        self._h = h
+
+    def __getitem__(self, r):
+        return self._v._ml(self._h, r)
+
+    def __len__(self):
+        return self._v.nr
+
+    def __iter__(self):
+        return (self._v._ml(self._h, r) for r in range(self._v.nr))
+
+
+def decode_liks_view(haps: List[Haplotype], reads: List[Read],
+                     pk: dict, ll, off_hap, off_hap_hmq, ll_off,
+                     ll_on, map_state,
+                     p: ObservationModelParameters) -> LiksView:
+    """Array-level decode of the device outputs: O(1) per-pair Python.
+
+    _report_variants (hmm/reference.py) is a per-base Python loop and
+    the eager per-pair decode was the next bottleneck (PERF_NOTES.md);
+    here hpos, first/last base, SNPs, align strings and mismatch
+    statistics are batch array ops and per-pair MLAlignment objects are
+    built only on demand (LiksView)."""
+    return LiksView(haps, reads, pk, ll, off_hap, off_hap_hmq, ll_off,
+                    ll_on, map_state, p)
 
 
 def decode_map_alignments(haps: List[Haplotype], reads: List[Read],
@@ -1035,174 +1333,11 @@ def decode_map_alignments(haps: List[Haplotype], reads: List[Read],
                           ll_on, map_state,
                           p: ObservationModelParameters
                           ) -> List[List[MLAlignment]]:
-    """Whole-batch vectorized MAP-path decode: fixed-layout device
-    outputs -> per-pair MLAlignments.
-
-    _report_variants (hmm/reference.py) is a per-base Python loop — the
-    end-to-end bottleneck once the device side is ~10 ms/slab
-    (PERF_NOTES.md).  Here hpos, first/last base, SNPs, align strings and
-    mismatch statistics are computed with batch array ops; reads whose
-    MAP path carries indel events get those events patched on from the
-    precomputed event masks.  Field-for-field identical to the loop
-    (tests/test_report_fast.py).  `pk` supplies H_pad/L_pad and the
-    packed hap_len/read_len/hap_codes/read_codes; the output arrays are
-    this window block's rows (hap-major)."""
-    from ..variants import AlignedVariant
-    from ..model import HPOS_INS, HPOS_LO, HPOS_RO
-
-    nh, nr = len(haps), len(reads)
-    H_pad = pk["H_pad"]
-    B = nh * nr
-    L_pad = pk["L_pad"]
-    S_half_f = H_pad + 2
-    hap_len = pk["hap_len"]
-    read_len = pk["read_len"]
-    ins_all = map_state >= S_half_f
-    x_all = map_state % S_half_f
-    ROh_all = (hap_len + 1)[:, None]
-    xs = np.where(x_all == H_pad + 1, ROh_all, x_all)
-    col = np.arange(L_pad)[None, :]
-    validc = col < read_len[:, None]
-    on = (xs >= 1) & (xs <= hap_len[:, None]) & validc
-    ins_ev = ins_all & on
-    noins_on = on & ~ins_all
-    del_ev = (noins_on[:, :-1] & ~ins_all[:, 1:]
-              & (col[:, 1:] < read_len[:, None])
-              & (xs[:, 1:] - xs[:, :-1] > 1))
-    has_event = ins_ev.any(axis=1) | del_ev.any(axis=1)
-
-    hpos_all = np.where(noins_on, xs - 1,
-                        np.where(xs == 0, HPOS_LO, HPOS_RO))
-    big = np.iinfo(np.int32).max
-    fb_all = np.where(noins_on, xs - 1, big).min(axis=1)
-    fb_all = np.where(fb_all == big, -1, fb_all)
-    lb_all = np.where(noins_on, xs - 1, -1).max(axis=1)
-
-    qual_b = np.zeros((nr, L_pad))
-    for ri, r in enumerate(reads):
-        qual_b[ri, :r.size()] = r.qual
-    qual_b = np.tile(qual_b, (nh, 1))
-    bqt = noins_on & (qual_b > p.check_base_qual_threshold)
-    hc = np.take_along_axis(pk["hap_codes"],
-                            np.clip(xs - 1, 0, H_pad - 1), axis=1)
-    mism = noins_on & (pk["read_codes"] != hc)
-    n_bqt_all = bqt.sum(axis=1)
-    n_mm_bqt_all = (mism & bqt).sum(axis=1)
-    n_mm_left_all = (mism & (col < 6)).sum(axis=1)
-    n_mm_right_all = (mism & (col > read_len[:, None] - 6)).sum(axis=1)
-    num_mm_all = (mism & (qual_b > 0.95)).sum(axis=1)
-    # sequential (loop-order) float accumulation for bit-parity with
-    # the per-base loop: column-at-a-time adds, masked terms as +0.0
-    with np.errstate(divide="ignore"):
-        log10q = np.where(bqt, np.log10(np.maximum(1.0 - qual_b, 1e-300)),
-                          0.0)
-    mlogbq_all = np.zeros(B)
-    for b in range(L_pad):
-        mlogbq_all = mlogbq_all + log10q[:, b]
-    any_mism = mism.any(axis=1)
-
-    liks: List[List[MLAlignment]] = []
-    for hi, hap in enumerate(haps):
-        row = []
-        Hh = hap.size()
-        numS = Hh + 2
-        ROh = Hh + 1
-        align_ref = "R" * Hh
-        hap_indels = list(hap.indels.items())
-        hap_snps = list(hap.snps.items())
-        for ri, r in enumerate(reads):
-            i = hi * nr + ri
-            L = r.size()
-            ml = MLAlignment()
-            ml.ll = float(ll[i])
-            ml.off_hap = bool(off_hap[i])
-            ml.off_hap_hmq = bool(off_hap_hmq[i])
-            ml.ll_off = float(ll_off[i])
-            ml.ll_on = float(ll_on[i])
-            ml.hpos = hpos_all[i, :L].tolist()
-            ml.first_base = int(fb_all[i])
-            ml.last_base = int(lb_all[i])
-            ml.n_bqt = int(n_bqt_all[i])
-            ml.m_log_bq = float(mlogbq_all[i])
-            ml.n_mm_bqt = int(n_mm_bqt_all[i])
-            ml.n_mm_left = int(n_mm_left_all[i])
-            ml.n_mm_right = int(n_mm_right_all[i])
-            ml.num_mismatch = int(num_mm_all[i])
-            align = None
-            if any_mism[i]:
-                align = list(align_ref)
-                for b in np.nonzero(mism[i, :L])[0]:
-                    spos = int(xs[i, b]) - 1
-                    ml.snps[spos] = AlignedVariant(
-                        hap.seq[spos] + "=>" + r.seq[b],
-                        start_hap=spos, end_hap=spos,
-                        start_read=int(b), end_read=int(b))
-                    align[spos] = r.seq[b]
-            if has_event[i]:
-                # patch the indel events onto the vectorized decode
-                # (same event rules as _report_variants; validated
-                # field-for-field in tests/test_report_fast.py)
-                if align is None:
-                    align = list(align_ref)
-                events = []
-                for b in np.nonzero(del_ev[i, :max(L - 1, 0)])[0]:
-                    events.append((int(b), "D"))
-                ins_row = ins_all[i, :L]
-                if ins_row.any():
-                    # maximal ins runs; the loop enters a run at its
-                    # first base with 0 < x <= H and consumes to the
-                    # run end (earlier bases keep their LO/RO codes)
-                    d = np.diff(ins_row.astype(np.int8))
-                    starts = list(np.nonzero(d == 1)[0] + 1)
-                    ends = list(np.nonzero(d == -1)[0])
-                    if ins_row[0]:
-                        starts.insert(0, 0)
-                    if ins_row[L - 1]:
-                        ends.append(L - 1)
-                    for a, e in zip(starts, ends):
-                        entry = -1
-                        for b in range(a, e + 1):
-                            xv = int(xs[i, b])
-                            if 0 < xv <= Hh:
-                                entry = b
-                                break
-                        if entry >= 0:
-                            events.append((entry, "I", e))
-                events.sort(key=lambda t: t[0])
-                for ev in events:
-                    if ev[1] == "D":
-                        b = ev[0]
-                        s = int(xs[i, b])
-                        ns = int(xs[i, b + 1])
-                        pos = s
-                        ln = ns - s - 1
-                        for y in range(pos, pos + ln):
-                            align[y] = "D"
-                        ml.indels[pos] = AlignedVariant(
-                            "-" + hap.seq[pos:pos + ln],
-                            start_hap=pos, end_hap=pos + ln - 1,
-                            start_read=b, end_read=b + 1)
-                        ml.num_indels += 1
-                    else:
-                        entry, _, e = ev
-                        pos = int(xs[i, entry])
-                        for b in range(entry, e + 1):
-                            ml.hpos[b] = HPOS_INS
-                        ml.indels[pos] = AlignedVariant(
-                            "+" + r.seq[entry:e + 1],
-                            start_hap=pos, end_hap=pos,
-                            start_read=entry, end_read=e)
-                        ml.num_indels += 1
-            ml.align = "".join(align) if align is not None else align_ref
-            for pos_, av in hap_indels:
-                ml.hap_indel_covered[pos_] = av.is_covered(
-                    p.pad_cover, ml.first_base, ml.last_base)
-            for pos_, av in hap_snps:
-                ml.hap_snp_covered[pos_] = av.is_covered(
-                    p.pad_cover, ml.first_base, ml.last_base)
-            row.append(ml)
-        liks.append(row)
-    return liks
+    """Whole-batch decode to eagerly materialized MLAlignment lists
+    (decode_liks_view + materialize; kept for parity tests and callers
+    that want plain lists)."""
+    return decode_liks_view(haps, reads, pk, ll, off_hap, off_hap_hmq,
+                            ll_off, ll_on, map_state, p).materialize()
 
 
 def _expand_prior(pr: np.ndarray, Hh: int, H_pad: int) -> np.ndarray:

@@ -88,11 +88,15 @@ def diploid_glf(haps: List[Haplotype], reads: List[Read],
     """Returns the list of emitted GLF rows as dicts (also written to
     glf_data when provided). filtered/var_coverage come from
     filter_haplotypes."""
+    import numpy as np
+    from .arrays import LiksArrays, add_logs_arr, seq_sum
+
     nh = len(haps)
     nr = len(reads)
     rows: List[dict] = []
 
-    rl = [[liks[h][r].ll for h in range(nh)] for r in range(nr)]
+    A = LiksArrays(liks, haps, reads, params)
+    ll2d = A.ll  # (nh, nr); the reference's rl[r*nh+h] transposed
 
     # all variants across haplotypes (DInDel.cpp:2969-3017)
     all_variants: List[Tuple[int, AlignedVariant]] = []
@@ -133,46 +137,55 @@ def diploid_glf(haps: List[Haplotype], reads: List[Read],
                 hap_var[h][pi] = idx
         variants[idx] = (p, av)
 
-    # pair posteriors (DInDel.cpp:3070-3113)
+    # pair posteriors (DInDel.cpp:3070-3113), vectorized over unfiltered
+    # pairs with the reference's exact accumulation order: per pair,
+    # ll = fold over reads of log(0.5)+addLogs(rl[r][h1],rl[r][h2]),
+    # then post = ll + prior
+    log5 = math.log(0.5)
+    pair_list = [(h1, h2) for h1 in range(nh) if not filtered[h1]
+                 for h2 in range(h1, nh) if not filtered[h2]]
     prior = {}
     pairs_posterior = {}
     max_indel_pair = [-1, -1]
     max_noindel_pair = [-1, -1]
     max_ll_indel = NEG
     max_ll_noindel = NEG
-    for h1 in range(nh):
-        if filtered[h1]:
-            continue
-        for h2 in range(h1, nh):
-            if filtered[h2]:
-                continue
-            pr = get_haplotype_prior(haps[h1], haps[h2], left_pos, candidates, params)
-            prior[(h1, h2)] = pr
-            ll = 0.0
-            log5 = math.log(0.5)
-            for r in range(nr):
-                ll += log5 + add_logs(rl[r][h1], rl[r][h2])
-            post = ll + pr
-            pairs_posterior[(h1, h2)] = post
-            if post > max_ll_indel and (hap_num_candidate_indels[h1] > 0
-                                        or hap_num_candidate_indels[h2] > 0):
-                max_ll_indel = post
-                max_indel_pair = [h1, h2]
-            if post > max_ll_noindel and (hap_num_candidate_indels[h1] == 0
-                                          and hap_num_candidate_indels[h2] == 0):
-                max_ll_noindel = post
-                max_noindel_pair = [h1, h2]
+    if pair_list:
+        h1v = np.array([pq[0] for pq in pair_list])
+        h2v = np.array([pq[1] for pq in pair_list])
+        # T[k, r] = log(0.5) + addLogs(rl[r][h1_k], rl[r][h2_k])
+        T = log5 + add_logs_arr(ll2d[h1v, :], ll2d[h2v, :])
+        base_ll = (np.cumsum(T, axis=1)[:, -1] if nr
+                   else np.zeros(len(pair_list)))
+        prior_v = np.array([get_haplotype_prior(haps[h1], haps[h2],
+                                                left_pos, candidates, params)
+                            for h1, h2 in pair_list])
+        posts = base_ll + prior_v
+        cand_v = np.array(hap_num_candidate_indels)
+        is_ind = (cand_v[h1v] > 0) | (cand_v[h2v] > 0)
+        for k, pq in enumerate(pair_list):
+            prior[pq] = float(prior_v[k])
+            pairs_posterior[pq] = float(posts[k])
+        # first strict maximum in pair order (matches the loop's >)
+        ind_posts = np.where(is_ind, posts, NEG)
+        if is_ind.any():
+            k = int(np.argmax(ind_posts))
+            max_ll_indel = float(ind_posts[k])
+            max_indel_pair = list(pair_list[k])
+        noind_posts = np.where(~is_ind, posts, NEG)
+        if (~is_ind).any():
+            k = int(np.argmax(noind_posts))
+            max_ll_noindel = float(noind_posts[k])
+            max_noindel_pair = list(pair_list[k])
 
     # MAP call block ("dip.map" rows, DInDel.cpp:3115-3307)
     qual = -10.0 * (max_ll_noindel - add_logs(max_ll_indel, max_ll_noindel)) / math.log(10.0)
     if max_indel_pair[0] == -1 or max_indel_pair[1] == -1:
         raise _WindowThrow("Could not find indel allele")
     hx1, hx2 = max_indel_pair
-    num_unmapped_realigned = 0
-    for r in range(nr):
-        if reads[r].is_unmapped:
-            if not liks[hx1][r].off_hap or not liks[hx2][r].off_hap:
-                num_unmapped_realigned += 1
+    unmapped_v = np.array([r.is_unmapped for r in reads], bool)
+    num_unmapped_realigned = int(
+        (unmapped_v & (~A.off[hx1] | ~A.off[hx2])).sum())
 
     indel_sites: Dict[int, List[AlignedVariant]] = {}
     for i in range(2):
@@ -182,30 +195,26 @@ def diploid_glf(haps: List[Haplotype], reads: List[Read],
                 lst = indel_sites.setdefault(p, [])
                 if not any(x.str == av.str for x in lst):
                     lst.append(av)
+    reverse_v = np.array([r.on_reverse_strand for r in reads], bool)
+    mq2_v = np.array([(-10.0 * math.log10(1.0 - r.map_qual)) ** 2
+                      for r in reads])
     for p in sorted(indel_sites):
         alleles = sorted(indel_sites[p], key=lambda a: a.str)
-        msq = 0.0
         numf = numr = n = 0
+        msq_terms = []
         m = 1 if max_indel_pair[0] == max_indel_pair[1] else 2
         for i in range(m):
             h = max_indel_pair[i]
             it = haps[h].indels.get(p)
             if it is not None and it.is_indel:
-                for r in range(nr):
-                    covered = liks[h][r].hap_indel_covered.get(p, False)
-                    nft = nrt = False
-                    if covered:
-                        if reads[r].on_reverse_strand:
-                            nrt = True
-                        else:
-                            nft = True
-                        mq = -10.0 * math.log10(1.0 - reads[r].map_qual)
-                        msq += mq * mq
-                        n += 1
-                    if nft:
-                        numf += 1
-                    if nrt:
-                        numr += 1
+                cov = A.indel_covered(h, p)
+                numf += int((cov & ~reverse_v).sum())
+                numr += int((cov & reverse_v).sum())
+                n += int(cov.sum())
+                msq_terms.append(mq2_v[cov])
+        # single sequential fold across both pair members, matching the
+        # reference's running msq += mq*mq
+        msq = seq_sum(np.concatenate(msq_terms)) if msq_terms else 0.0
         msq = math.sqrt(msq / n) if n != 0 else 0.0
 
         was_candidate = 0
@@ -283,7 +292,10 @@ def diploid_glf(haps: List[Haplotype], reads: List[Read],
         rows.append(row)
         _emit(glf_data, row)
 
-    # per-site genotype marginals ("dip" rows, DInDel.cpp:3310-3660)
+    # per-site genotype marginals ("dip" rows, DInDel.cpp:3310-3660).
+    # The per-pair read fold is the same T as above but STARTS at the
+    # per-(site, pair) prior — float association differs from base_ll+pr,
+    # so each fold is replayed exactly: cumsum over [pr, t_0, ..., t_nr-1]
     for p in var_positions:
         has_variants_in_window = 0
         for (pp, av) in all_by_pos[p]:
@@ -294,88 +306,67 @@ def diploid_glf(haps: List[Haplotype], reads: List[Read],
         gen_liks: Dict[Tuple[int, int], float] = {}
         maxll = NEG
         ghx1 = ghx2 = 0
-        log5 = math.log(0.5)
-        for h1 in range(nh):
-            if filtered[h1]:
-                continue
-            for h2 in range(h1, nh):
-                if filtered[h2]:
-                    continue
-                v1 = hap_var[h1][pos_idx]
-                v2 = hap_var[h2][pos_idx]
-                genotype = tuple(sorted({v1, v2}))
-                av1 = variants[v1][1] if v1 else AlignedVariant("*REF", start_hap=-1)
-                av2 = variants[v2][1] if v2 else AlignedVariant("*REF", start_hap=-1)
-                log_prior_pos = get_pair_prior(av1, av2, left_pos, candidates, params)
-                pr = prior[(h1, h2)] - log_prior_pos
-                ll = pr
-                for r in range(nr):
-                    ll += log5 + add_logs(rl[r][h1], rl[r][h2])
-                if genotype in gen_liks:
-                    gen_liks[genotype] = add_logs(gen_liks[genotype], ll)
-                else:
-                    gen_liks[genotype] = ll
-                if ll > maxll:
-                    maxll = ll
-                    ghx1, ghx2 = h1, h2
+        pair_pr = np.empty(len(pair_list))
+        pair_geno = []
+        for k, (h1, h2) in enumerate(pair_list):
+            v1 = hap_var[h1][pos_idx]
+            v2 = hap_var[h2][pos_idx]
+            pair_geno.append(tuple(sorted({v1, v2})))
+            av1 = variants[v1][1] if v1 else AlignedVariant("*REF", start_hap=-1)
+            av2 = variants[v2][1] if v2 else AlignedVariant("*REF", start_hap=-1)
+            log_prior_pos = get_pair_prior(av1, av2, left_pos, candidates, params)
+            pair_pr[k] = prior[(h1, h2)] - log_prior_pos
+        lls = np.cumsum(np.concatenate([pair_pr[None, :], T.T], axis=0),
+                        axis=0)[-1]
+        for k, (h1, h2) in enumerate(pair_list):
+            ll = float(lls[k])
+            genotype = pair_geno[k]
+            if genotype in gen_liks:
+                gen_liks[genotype] = add_logs(gen_liks[genotype], ll)
+            else:
+                gen_liks[genotype] = ll
+            if ll > maxll:
+                maxll = ll
+                ghx1, ghx2 = h1, h2
 
-        num_unmapped_realigned2 = 0
-        for r in range(nr):
-            if reads[r].is_unmapped:
-                if not liks[ghx1][r].off_hap or not liks[ghx2][r].off_hap:
-                    num_unmapped_realigned2 += 1
+        num_unmapped_realigned2 = int(
+            (unmapped_v & (~A.off[ghx1] | ~A.off[ghx2])).sum())
 
         if params.output_pooled_likelihoods:
             from ..out.debug_dumps import write_diploid_check
             write_diploid_check(params.file_name, haps, reads, liks,
                                 ghx1, ghx2, left_pos)
 
-        allmsq = 0.0
-        num_mapped_indels = 0
-        n_bqt = nmm_bqt = 0
-        m_log_bq = 0.0
-        n_mm_left = n_mm_right = 0
-        num_off_both = 0
-        msq = 0.0
-        n = 0
-        nf = nr_count = 0
-        for r in range(nr):
-            mq = -10.0 * math.log10(1.0 - reads[r].map_qual)
-            allmsq += mq * mq
-            if liks[ghx1][r].off_hap and liks[ghx2][r].off_hap:
-                num_off_both += 1
-            if liks[ghx1][r].ll >= liks[ghx2][r].ll:
-                mlidx = ghx1
-            else:
-                mlidx = ghx2
-            nft = nrt = False
-            h = mlidx
-            num_mapped_indels += len(liks[h][r].indels)
-            n_bqt += liks[h][r].n_bqt
-            nmm_bqt += liks[h][r].n_mm_bqt
-            m_log_bq += liks[h][r].m_log_bq
-            if liks[h][r].n_mm_left >= 2:
-                n_mm_left += 1
-            if liks[h][r].n_mm_right >= 2:
-                n_mm_right += 1
+        # per-read stats at the per-read ML haplotype of the (ghx1, ghx2)
+        # pair (DInDel.cpp:3491-3561), gathered by mlidx
+        use1 = ll2d[ghx1] >= ll2d[ghx2]
+        allmsq = seq_sum(mq2_v)
+
+        def _pick(a2d):
+            return np.where(use1, a2d[ghx1], a2d[ghx2])
+
+        num_off_both = int((A.off[ghx1] & A.off[ghx2]).sum())
+        num_mapped_indels = int(np.where(use1, A.nind_entries_row(ghx1),
+                                         A.nind_entries_row(ghx2)).sum())
+        n_bqt = int(_pick(A.nbqt).sum())
+        nmm_bqt = int(_pick(A.nmmbqt).sum())
+        m_log_bq = seq_sum(_pick(A.mlogbq))
+        n_mm_left = int((_pick(A.nmml) >= 2).sum())
+        n_mm_right = int((_pick(A.nmmr) >= 2).sum())
+
+        def _cov_at(h):
             hit = haps[h].indels.get(p)
-            covered = False
             if hit is not None and hit.is_indel:
-                covered = liks[h][r].hap_indel_covered.get(p, False)
-            elif hit is not None and hit.is_snp:
-                covered = liks[h][r].hap_snp_covered.get(p, False)
-            if covered:
-                if reads[r].on_reverse_strand:
-                    nrt = True
-                else:
-                    nft = True
-                mq = -10.0 * math.log10(1.0 - reads[r].map_qual)
-                msq += mq * mq
-                n += 1
-            if nft:
-                nf += 1
-            if nrt:
-                nr_count += 1
+                return A.indel_covered(h, p)
+            if hit is not None and hit.is_snp:
+                return A.snp_covered(h, p)
+            return np.zeros(nr, bool)
+
+        cov = np.where(use1, _cov_at(ghx1), _cov_at(ghx2))
+        nf = int((cov & ~reverse_v).sum())
+        nr_count = int((cov & reverse_v).sum())
+        n = int(cov.sum())
+        msq = seq_sum(mq2_v[cov])
         msq = math.sqrt(msq / n) if n != 0 else 0.0
         allmsq = math.sqrt(allmsq / nr) if nr != 0 else 0.0
 

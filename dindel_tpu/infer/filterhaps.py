@@ -22,9 +22,17 @@ from ..variants import AlignedVariant, DEL, INS
 
 
 def filter_haplotypes(haps: List[Haplotype], reads: List[Read],
-                      liks: List[List[MLAlignment]], params: Parameters,
-                      do_filter: bool):
-    """Returns (filtered: List[int], var_coverage: {(pos, var) -> (nf, nr)})."""
+                      liks, params: Parameters, do_filter: bool):
+    """Returns (filtered: List[int], var_coverage: {(pos, var) -> (nf, nr)}).
+
+    Dispatches to an array-level implementation when liks is a
+    hmm.batch.LiksView (the device production path); the per-pair loop
+    below is the oracle-path reference implementation, differential-tested
+    against the compiled C++ in tests/test_callers_ref.py.  View-vs-loop
+    equality is asserted in tests/test_liks_view.py."""
+    from ..hmm.batch import LiksView
+    if isinstance(liks, LiksView):
+        return _filter_haplotypes_view(haps, reads, liks, params, do_filter)
     num_haps = len(haps)
     filtered = [0] * num_haps
     pad = params.obs_params.pad_cover
@@ -111,3 +119,83 @@ def _strand(read: Read) -> int:
     if read.is_unmapped:
         return 1 if not read.mate_is_reverse else 0
     return 1 if read.on_reverse_strand else 0
+
+
+def _filter_haplotypes_view(haps, reads, v, params, do_filter):
+    """Array-level filter_haplotypes over a LiksView: per-variant flank
+    coverage and mismatch counts as scatter/reduce over the decoded
+    hpos matrix, no per-pair Python."""
+    import numpy as np
+
+    num_haps = len(haps)
+    nh, nr = v.nh, v.nr
+    pad = params.obs_params.pad_cover
+    max_mm = params.obs_params.max_mismatch
+    filtered = [0] * num_haps
+    h_var_cov = {}
+
+    L_pad = v.L_pad
+    read_len_v = v.read_len.reshape(nh, nr)[0]
+    validc = np.arange(L_pad)[None, :] < read_len_v[:, None]
+    rchars = np.zeros((nr, L_pad), np.uint8)
+    for ri, r in enumerate(reads):
+        rchars[ri, :r.size()] = np.frombuffer(r.seq.encode(), np.uint8)
+    strand_v = np.array([_strand(r) for r in reads])
+    # num_indels == 0 iff the MAP path has no event
+    sel2d = (~v.off_hap_hmq2d) & (~v.has_event.reshape(nh, nr))
+    hpos3 = v.hpos_all.reshape(nh, nr, L_pad)
+
+    for h in range(num_haps):
+        hseq = np.frombuffer(haps[h].seq.encode(), np.uint8)
+        hp = hpos3[h]
+        sel = sel2d[h]
+        all_covered = True
+        for p, av in sorted(haps[h].indels.items()):
+            pav = (p, av.str)
+            if pav not in h_var_cov:
+                h_var_cov[pav] = [set() for _ in range(num_haps * 2)]
+            if av.type not in (INS, DEL):
+                continue
+            left = av.left_flank_read - pad
+            right = av.right_flank_read + pad
+            ln = right - left + 1
+            inr = (hp >= left) & (hp <= right) & validc
+            # distinct hap positions covered (the loop's std::set)
+            cov = np.zeros((nr, ln), bool)
+            ii, jj = np.nonzero(inr)
+            cov[ii, hp[ii, jj] - left] = True
+            c_size = cov.sum(axis=1)
+            # mismatches with multiplicity; negative hpos codes index from
+            # the sequence end exactly like the loop's Python seq[hb]
+            hchar = hseq[np.where(inr, hp, 0)]
+            mmm = inr & (hchar != rchars)
+            if av.type == DEL:
+                mmm &= np.where(inr, hchar != ord("N"), False)
+            nmm = mmm.sum(axis=1)
+            if av.type == DEL:
+                cov_r = sel & (c_size >= ln) & (nmm <= max_mm)
+                covered = bool(cov_r.any())
+            else:
+                lenins = len(av.seq)
+                base_ok = sel & (nmm <= max_mm) & ((lenins > 10)
+                                                   | (c_size >= ln))
+                cov_r = base_ok & cov.all(axis=1)
+                covered = bool(cov_r.any())
+            dst = h_var_cov[pav]
+            for r in np.nonzero(cov_r)[0]:
+                dst[h + strand_v[r] * num_haps].add(int(r))
+            if not covered:
+                all_covered = False
+                break
+        if do_filter and not all_covered:
+            filtered[h] = 1
+
+    var_coverage = {}
+    for pav, cov_sets in h_var_cov.items():
+        rf, rr = set(), set()
+        for h in range(num_haps):
+            if filtered[h] != 1:
+                rf |= cov_sets[h]
+                rr |= cov_sets[h + num_haps]
+        var_coverage[pav] = (len(rf), len(rr))
+    return filtered, var_coverage

@@ -69,20 +69,20 @@ def estimate_hap_freqs_bayes_em(
         num_bams: int, program: str = "all"):
     """Returns (hap_freqs, posteriors, rows). posteriors: list of
     (variant, pos, prob, freq, nf, nr) — HapEstResult mirror."""
+    import numpy as np
+    from .arrays import LiksArrays, add_logs_arr, seq_sum
+
     nh = len(haps)
     nr = len(reads)
     rows: List[dict] = []
 
-    rl = [[liks[h][r].ll for h in range(nh)] for r in range(nr)]
+    A = LiksArrays(liks, haps, reads, params)
+    rlT = A.ll.T  # (nr, nh): the reference's rl[r*nh+h]
 
-    num_unmapped_realigned = 0
-    num_read_off_all = 0
-    for r in range(nr):
-        offall = all(liks[h][r].off_hap for h in range(nh))
-        if offall:
-            num_read_off_all += 1
-        elif reads[r].is_unmapped:
-            num_unmapped_realigned += 1
+    off_all_v = A.off.all(axis=0)
+    unmapped_v = np.array([r.is_unmapped for r in reads], bool)
+    num_read_off_all = int(off_all_v.sum())
+    num_unmapped_realigned = int((~off_all_v & unmapped_v).sum())
 
     # collect variants
     all_variants: List[Tuple[int, AlignedVariant]] = []
@@ -186,44 +186,35 @@ def estimate_hap_freqs_bayes_em(
             if compatible[h]:
                 numah += 1
 
-        # VB-EM (DInDel.cpp:2411-2523)
-        lpi = [math.log(1.0 / numah) if compatible[h] else -100.0 for h in range(nh)]
-        pi = [0.0] * nh
+        # VB-EM (DInDel.cpp:2411-2523), vectorized over (reads, haps) with
+        # the reference's accumulation orders: lognorm folds over h in
+        # index order, nk/loglik/e_new fold over r (then h) in index order
+        lpi = np.array([math.log(1.0 / numah) if compatible[h] else -100.0
+                        for h in range(nh)])
+        pi = np.zeros(nh)
         e_old = NEG
         iter_ = 0
         loglik = 0.0
+        compat_v = np.array(compatible, bool)
         while True:
-            nk = [0.0] * nh
-            loglik = 0.0
-            z = [[0.0] * nh for _ in range(nr)]
-            for r in range(nr):
-                lognorm = NEG
-                for h in range(nh):
-                    z[r][h] = lpi[h] + rl[r][h]
-                    lognorm = add_logs(lognorm, z[r][h])
-                for h in range(nh):
-                    zz = math.exp(z[r][h] - lognorm)
-                    z[r][h] = zz
-                    nk[h] += zz
-                loglik += lognorm
-            ahat = 0.0
-            ak = [0.0] * nh
+            Z = lpi[None, :] + rlT            # (nr, nh)
+            lognorm = np.full(nr, NEG)
             for h in range(nh):
-                if compatible[h]:
-                    ak[h] = nk[h] + a0
-                    ahat += ak[h]
+                lognorm = add_logs_arr(lognorm, Z[:, h])
+            zz = np.exp(Z - lognorm[:, None])
+            nk = np.cumsum(zz, axis=0)[-1] if nr else np.zeros(nh)
+            loglik = seq_sum(lognorm)
+            ak = np.where(compat_v, nk + a0, 0.0)
+            ahat = seq_sum(ak[compat_v])
             dahat = digamma(ahat)
+            lpi = np.full(nh, -100.0)
             for h in range(nh):
                 if compatible[h]:
                     lpi[h] = digamma(ak[h]) - dahat
-                    pi[h] = math.log((a0 + nk[h]) / (numah * a0 + nr))
-                else:
-                    lpi[h] = -100.0
-                    pi[h] = -100.0
-            e_new = 0.0
-            for r in range(nr):
-                for h in range(nh):
-                    e_new += z[r][h] * (pi[h] + rl[r][h])
+            with np.errstate(divide="ignore"):
+                pi = np.where(compat_v,
+                              np.log((a0 + nk) / (numah * a0 + nr)), -100.0)
+            e_new = seq_sum((zz * (pi[None, :] + rlT)).ravel())
             converged = abs(e_old - e_new) < params.em_tol or iter_ > 25
             e_old = e_new
             iter_ += 1
@@ -247,6 +238,19 @@ def estimate_hap_freqs_bayes_em(
     readidx: List[List[int]] = [[] for _ in range(num_bams)]
     for r in range(nr):
         readidx[reads[r].pool_id].append(r)
+
+    reverse_v = np.array([r.on_reverse_strand for r in reads], bool)
+    mq2_v = np.array([(-10.0 * math.log10(1.0 - r.map_qual)) ** 2
+                      for r in reads])
+    # all unordered hap pairs in loop order, and their per-read fold terms
+    # log(0.5)+addLogs(rl[r][h1],rl[r][h2]) (shared by every variant/pool)
+    pair_list = [(h1, h2) for h1 in range(nh) for h2 in range(h1, nh)]
+    h1v = np.array([pq[0] for pq in pair_list])
+    h2v = np.array([pq[1] for pq in pair_list])
+    log5 = math.log(0.5)
+    T_all = log5 + add_logs_arr(A.ll[h1v, :], A.ll[h2v, :])
+    # per-read ML haplotypes within 1e-7 (DInDel.cpp:2690-2700)
+    ml_mask = A.ll >= (A.ll.max(axis=0)[None, :] - 1e-7)
 
     posteriors = []
     for idx, (p, pav) in enumerate(all_variants):
@@ -293,47 +297,38 @@ def estimate_hap_freqs_bayes_em(
                     prior_pair[h1][h2] = mar_freqs[otn[h1]] + mar_freqs[otn[h2]]
 
         totnf = totnr = 0
-        log5 = math.log(0.5)
+        # reads whose ML haplotype covers this variant, by strand
+        covm = np.zeros((nh, nr), bool)
+        for h in range(nh):
+            if hap_has_var[h][idx]:
+                if pav.is_indel:
+                    covm[h] = A.indel_covered(h, p)
+                elif pav.is_snp:
+                    covm[h] = A.snp_covered(h, p)
+        hit_v = (ml_mask & covm).any(axis=0)
         for b in range(num_bams):
             msq = 0.0
             nf = nr_c = 0
             lik = [0.0, 0.0, 0.0]
             if readidx[b]:
+                idxb = np.array(readidx[b])
                 if params.output_glf and do_glf:
                     lik = [NEG, NEG, NEG]
-                    for h1 in range(nh):
-                        for h2 in range(h1, nh):
-                            genotype = hap_has_var[h1][idx] + hap_has_var[h2][idx]
-                            ll = prior_pair[h1][h2]
-                            for r in readidx[b]:
-                                ll += log5 + add_logs(rl[r][h1], rl[r][h2])
-                            lik[genotype] = add_logs(lik[genotype], ll)
-                n = 0
-                for r in readidx[b]:
-                    ml = NEG
-                    for hi in range(nh):
-                        if liks[hi][r].ll >= ml:
-                            ml = liks[hi][r].ll
-                    mlis = [hi for hi in range(nh) if liks[hi][r].ll >= ml - 1e-7]
-                    nrt = nft = False
-                    for h in mlis:
-                        covered = False
-                        if pav.is_indel:
-                            covered = liks[h][r].hap_indel_covered.get(p, False)
-                        elif pav.is_snp:
-                            covered = liks[h][r].hap_snp_covered.get(p, False)
-                        if covered and hap_has_var[h][idx]:
-                            if reads[r].on_reverse_strand:
-                                nrt = True
-                            else:
-                                nft = True
-                    mq = -10.0 * math.log10(1.0 - reads[r].map_qual)
-                    msq += mq * mq
-                    n += 1
-                    if nft:
-                        nf += 1
-                    if nrt:
-                        nr_c += 1
+                    # exact fold order: ll = prior_pair; ll += t_r over the
+                    # pool's reads; then add_logs-merge by genotype in
+                    # pair order (DInDel.cpp:2668-2689)
+                    ppv = np.array([prior_pair[h1][h2]
+                                    for h1, h2 in pair_list])
+                    lls = np.cumsum(
+                        np.concatenate([ppv[None, :], T_all[:, idxb].T],
+                                       axis=0), axis=0)[-1]
+                    for k, (h1, h2) in enumerate(pair_list):
+                        genotype = hap_has_var[h1][idx] + hap_has_var[h2][idx]
+                        lik[genotype] = add_logs(lik[genotype], float(lls[k]))
+                n = len(readidx[b])
+                nf = int((hit_v[idxb] & ~reverse_v[idxb]).sum())
+                nr_c = int((hit_v[idxb] & reverse_v[idxb]).sum())
+                msq = seq_sum(mq2_v[idxb])
                 msq = math.sqrt(msq / n) if n != 0 else 0.0
                 totnf += nf
                 totnr += nr_c
