@@ -123,6 +123,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--maxPairsPerSlab", type=int, default=8192,
                     help="max (hap,read) pairs per device slab "
                          "(bounds backpointer HBM; batched engine)")
+    ap.add_argument("--mesh", default=None, metavar="DPxRP",
+                    help="shard the batched engine's device slabs over a "
+                         "dp x rp jax.sharding.Mesh, e.g. --mesh 4x2 "
+                         "(TPU-native scale-out; requires dp*rp local "
+                         "devices)")
     ap.add_argument("--inferenceMethod", default="empirical",
                     help="inference method (only 'empirical' does anything, "
                          "as in the reference, DInDel.cpp:1365)")
@@ -235,11 +240,15 @@ def main(argv=None) -> int:
             import numpy as np
             from .engine.batched import BatchedWindowEngine
             dp_impl = "pallas" if args.hmmBackend == "pallas" else "xla"
+            mesh = None
+            if args.mesh:
+                n_dp, n_rp = (int(t) for t in args.mesh.lower().split("x"))
+                mesh = (n_dp, n_rp)
             eng = BatchedWindowEngine(
                 bam_paths, args.ref, params, libraries,
                 batch_windows=args.batchWindows,
                 max_pairs_per_slab=args.maxPairsPerSlab,
-                dp_impl=dp_impl, dtype=np.float32)
+                dp_impl=dp_impl, dtype=np.float32, mesh=mesh)
         else:
             from .engine.window import WindowEngine
             eng = WindowEngine(bam_paths, args.ref, params, libraries,

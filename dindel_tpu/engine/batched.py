@@ -32,7 +32,7 @@ from ..variants import AlignedCandidates, read_window_file
 from ..hmm.batch import (BatchedPairHMM, decode_liks_view,
                          merge_compact, pack_pairs, pack_pairs_compact,
                          pad_compact, run_packed, run_packed_compact,
-                         _round_up)
+                         run_packed_compact_sharded, _round_up)
 from ..infer.filterhaps import filter_haplotypes
 from ..infer.diploid import diploid_glf, _WindowThrow
 from ..infer.pooled import estimate_hap_freqs_bayes_em
@@ -48,7 +48,7 @@ class BatchedWindowEngine(WindowEngine):
 
     def __init__(self, *args, batch_windows: int = 16,
                  max_pairs_per_slab: int = 8192, dp_impl: str = "xla",
-                 dtype=np.float32, **kwargs):
+                 dtype=np.float32, mesh=None, **kwargs):
         # Per-window fallback backend when a whole slab faults on device:
         # the batched XLA kernel (ms/window), NOT the float64 oracle
         # (minutes/window at scale).  Bit-parity with the slab path is
@@ -59,6 +59,13 @@ class BatchedWindowEngine(WindowEngine):
         self.max_pairs_per_slab = max_pairs_per_slab
         self.dp_impl = dp_impl
         self.np_dtype = dtype
+        # dp x rp device mesh for the slab phase (SURVEY.md §2.4): pairs
+        # shard over every mesh device; None = single device.  Accepts a
+        # jax.sharding.Mesh or an (n_dp, n_rp) tuple.
+        if mesh is not None and not hasattr(mesh, "devices"):
+            from ..parallel.mesh import make_mesh
+            mesh = make_mesh(*mesh)
+        self.mesh = mesh
 
     # ------------------------------------------------------------------
     def detect_indels(self, var_file: str, glf_path: Optional[str] = None):
@@ -211,7 +218,11 @@ class BatchedWindowEngine(WindowEngine):
             with self.stats.stage("slab_dispatch"):
                 if compact:
                     merged = pad_compact(merge_compact(pks))
-                    res = run_packed_compact(merged, self.dp_impl)
+                    if self.mesh is not None:
+                        res = run_packed_compact_sharded(
+                            merged, self.dp_impl, self.mesh)
+                    else:
+                        res = run_packed_compact(merged, self.dp_impl)
                 else:
                     keys = ["hap_len", "read_len", "b_mid", "read_codes",
                             "hap_codes", "eq", "uq", "lpe", "lpn", "lpeV",

@@ -651,6 +651,30 @@ def _expand_compact(H_pad, L_pad, dtype_str,
             prior_rmq, prior_hmq, obs_mid)
 
 
+def _compact_core(H_pad, L_pad, numT, dt_str, dp_impl, exact_ties,
+                  read_codes_r, eq_r, uq_r, hap_codes_h, lpe_h, lpn_h,
+                  lpeV_h, lpnV_h, hap_idx, read_idx, hap_len, read_len,
+                  b_mid, log_off_r, log_on_r, hmq_consts, ins_consts,
+                  scalars):
+    """Compact-slab compute body: device-side expansion + DP + finish.
+    Shared between the single-device path and the shard_map'ed mesh path
+    (where it runs per shard on the local pair slice)."""
+    (read_codes, eq, uq, hap_codes, lpe, lpn, lpeV, lpnV,
+     prior_rmq, prior_hmq, obs_mid) = _expand_compact(
+        H_pad, L_pad, dt_str, read_codes_r, eq_r, uq_r, hap_codes_h,
+        lpe_h, lpn_h, lpeV_h, lpnV_h, hap_idx, read_idx, hap_len, b_mid,
+        log_off_r, log_on_r, hmq_consts, ins_consts)
+    dp = get_dp_impl(dp_impl)
+    alpha_mid, beta_mid, btf, btb = dp(
+        H_pad, L_pad, numT, hap_len, read_len, b_mid,
+        read_codes, hap_codes, eq, uq, lpe, lpn, lpeV, lpnV, scalars)
+    out = _finish(H_pad, L_pad, b_mid, alpha_mid, beta_mid, obs_mid,
+                  prior_rmq, prior_hmq, btf, btb, exact_ties=exact_ties)
+    if 2 * (H_pad + 2) < 2 ** 15:
+        out = out[:-1] + (out[-1].astype(jnp.int16),)
+    return out
+
+
 def run_packed_compact(pk: dict, dp_impl: str = "xla",
                        exact_ties: bool = None):
     """run_packed for a compact slab: one small upload, device-side
@@ -658,29 +682,91 @@ def run_packed_compact(pk: dict, dp_impl: str = "xla",
     if exact_ties is None:
         exact_ties = (dp_impl == "xla")
     dt = np.dtype(pk["eq_r"].dtype)
-    (read_codes, eq, uq, hap_codes, lpe, lpn, lpeV, lpnV,
-     prior_rmq, prior_hmq, obs_mid) = _expand_compact(
-        pk["H_pad"], pk["L_pad"], dt.str,
+    return _compact_core(
+        pk["H_pad"], pk["L_pad"], pk["numT"], dt.str, dp_impl, exact_ties,
         jnp.asarray(pk["read_codes_r"]), jnp.asarray(pk["eq_r"]),
         jnp.asarray(pk["uq_r"]), jnp.asarray(pk["hap_codes_h"]),
         jnp.asarray(pk["lpe_h"]), jnp.asarray(pk["lpn_h"]),
         jnp.asarray(pk["lpeV_h"]), jnp.asarray(pk["lpnV_h"]),
         jnp.asarray(pk["hap_idx"]), jnp.asarray(pk["read_idx"]),
-        jnp.asarray(pk["hap_len"]), jnp.asarray(pk["b_mid"]),
+        jnp.asarray(pk["hap_len"]), pk["read_len"],
+        jnp.asarray(pk["b_mid"]),
         jnp.asarray(pk["log_off_r"]), jnp.asarray(pk["log_on_r"]),
         (pk["log_off_hmq"], pk["log_on_hmq"]),
-        (pk["log_ins0"], pk["log_ins1"]))
-    dp = get_dp_impl(dp_impl)
-    alpha_mid, beta_mid, btf, btb = dp(
-        pk["H_pad"], pk["L_pad"], pk["numT"],
-        jnp.asarray(pk["hap_len"]), pk["read_len"], pk["b_mid"],
-        read_codes, hap_codes, eq, uq, lpe, lpn, lpeV, lpnV,
-        pk["scalars"])
-    out = _finish(pk["H_pad"], pk["L_pad"], jnp.asarray(pk["b_mid"]),
-                  alpha_mid, beta_mid, obs_mid, prior_rmq, prior_hmq,
-                  btf, btb, exact_ties=exact_ties)
-    if 2 * (pk["H_pad"] + 2) < 2 ** 15:
-        out = out[:-1] + (out[-1].astype(jnp.int16),)
+        (pk["log_ins0"], pk["log_ins1"]), pk["scalars"])
+
+
+_SHARDED_CACHE = {}
+
+
+def run_packed_compact_sharded(pk: dict, dp_impl: str, mesh,
+                               exact_ties: bool = None):
+    """run_packed_compact under a dp x rp jax.sharding.Mesh: the slab's
+    pair axis is sharded over every mesh device (both axes flattened —
+    pairs are embarrassingly parallel and each shard runs the full
+    production expand/DP/finish, i.e. the Pallas kernel on TPU); the
+    small per-read/per-hap tables are replicated.  The pair axis is
+    padded to a device multiple with clones of the last real row (as in
+    pad_compact) and every output is sliced back, so results are
+    bit-identical to the single-device path
+    (tests/test_parallel.py::test_engine_sharded_step_bit_equal)."""
+    from jax.sharding import PartitionSpec as P
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.experimental.shard_map import shard_map
+
+    if exact_ties is None:
+        exact_ties = (dp_impl == "xla")
+    n_dev = mesh.devices.size
+    B = pk["hap_idx"].shape[0]
+    Bp = _round_up(B, n_dev)
+
+    def padpairs(a):
+        if Bp == a.shape[0]:
+            return a
+        return np.concatenate([a, np.repeat(a[-1:], Bp - a.shape[0],
+                                            axis=0)], axis=0)
+
+    dt = np.dtype(pk["eq_r"].dtype)
+    tables = (jnp.asarray(pk["read_codes_r"]), jnp.asarray(pk["eq_r"]),
+              jnp.asarray(pk["uq_r"]), jnp.asarray(pk["hap_codes_h"]),
+              jnp.asarray(pk["lpe_h"]), jnp.asarray(pk["lpn_h"]),
+              jnp.asarray(pk["lpeV_h"]), jnp.asarray(pk["lpnV_h"]),
+              jnp.asarray(pk["log_off_r"]), jnp.asarray(pk["log_on_r"]))
+    pairs = tuple(jnp.asarray(padpairs(np.asarray(pk[k])))
+                  for k in ("hap_idx", "read_idx", "hap_len", "read_len",
+                            "b_mid"))
+    key = (id(mesh), pk["H_pad"], pk["L_pad"], pk["numT"], dt.str, dp_impl,
+           exact_ties, pk["log_off_hmq"], pk["log_on_hmq"],
+           pk["log_ins0"], pk["log_ins1"])
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+        hmq_consts = (pk["log_off_hmq"], pk["log_on_hmq"])
+        ins_consts = (pk["log_ins0"], pk["log_ins1"])
+
+        def body(tables_, pairs_, scalars):
+            (rc_r, eq_r, uq_r, hc_h, lpe_h, lpn_h, lpeV_h, lpnV_h,
+             lor, lonr) = tables_
+            hap_idx, read_idx, hap_len, read_len, b_mid = pairs_
+            return _compact_core(
+                pk["H_pad"], pk["L_pad"], pk["numT"], dt.str, dp_impl,
+                exact_ties, rc_r, eq_r, uq_r, hc_h, lpe_h, lpn_h, lpeV_h,
+                lpnV_h, hap_idx, read_idx, hap_len, read_len, b_mid,
+                lor, lonr, hmq_consts, ins_consts, scalars)
+
+        axes = tuple(mesh.axis_names)
+        pair_spec = P(axes)
+        sm = shard_map(
+            body, mesh=mesh,
+            in_specs=((P(),) * 10, (pair_spec,) * 5, P()),
+            out_specs=(pair_spec,) * 6,
+            check_rep=False)
+        fn = jax.jit(sm)
+        _SHARDED_CACHE[key] = fn
+    out = fn(tables, pairs, jnp.asarray(pk["scalars"]))
+    if Bp != B:
+        out = tuple(o[:B] for o in out)
     return out
 
 

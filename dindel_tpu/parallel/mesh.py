@@ -35,7 +35,8 @@ with warnings.catch_warnings():
     from jax.experimental.shard_map import shard_map
 
 from ..config import ObservationModelParameters
-from ..hmm.batch import _dp_xla, _finish, compute_obs_mid, pack_pairs
+from ..hmm.batch import (_finish, compute_obs_mid, get_dp_impl, pack_pairs,
+                         _round_up)
 from ..model import Haplotype, Read
 
 PACK_KEYS = ["hap_len", "read_len", "b_mid", "read_codes", "hap_codes",
@@ -50,18 +51,21 @@ def make_mesh(n_dp: int, n_rp: int, devices=None) -> Mesh:
     return Mesh(devs, axis_names=("dp", "rp"))
 
 
-def _window_step_local(H_pad, L_pad, numT, nh, args):
+def _window_step_local(H_pad, L_pad, numT, nh, dp_impl, args):
     """Per-shard computation: batched HMM over the local (window, hap,
-    read-shard) pairs + partial genotype matrix, completed by psum."""
+    read-shard) pairs + partial genotype matrix, completed by psum.
+    dp_impl selects the production DP kernel (Pallas on TPU)."""
     (hap_len, read_len, b_mid, read_codes, hap_codes, eq, uq,
-     lpe, lpn, lpeV, lpnV, prior_rmq, prior_hmq, obs_mid, scalars) = args
+     lpe, lpn, lpeV, lpnV, prior_rmq, prior_hmq, obs_mid, read_mask,
+     scalars) = args
 
     W_loc = hap_len.shape[0]
+    dp = get_dp_impl(dp_impl)
 
     def one_window(a):
         (hl, rl, bm, rc, hc, e, u, le, ln, leV, lnV, prr, prh, om, sc) = a
-        amid, bmid_, btf, btb = _dp_xla(H_pad, L_pad, numT, hl, rl, bm, rc,
-                                        hc, e, u, le, ln, leV, lnV, sc)
+        amid, bmid_, btf, btb = dp(H_pad, L_pad, numT, hl, rl, bm, rc,
+                                   hc, e, u, le, ln, leV, lnV, sc)
         out = _finish(H_pad, L_pad, bm, amid, bmid_, om, prr, prh, btf, btb)
         return out[0]  # ll, (B,) = (nh * nr_loc,)
 
@@ -71,20 +75,25 @@ def _window_step_local(H_pad, L_pad, numT, nh, args):
          jnp.broadcast_to(scalars, (W_loc,) + scalars.shape)))
     nr_loc = ll.shape[1] // nh
     ll = ll.reshape(W_loc, nh, nr_loc)
-    # diploid pair posteriors: G[w,h1,h2] = sum_r log(.5 e^l1 + .5 e^l2)
+    mask = read_mask.reshape(W_loc, nh, nr_loc)
+    # diploid pair posteriors: G[w,h1,h2] = sum_r log(.5 e^l1 + .5 e^l2);
+    # pairs padded onto the rp axis contribute 0
     l1 = ll[:, :, None, :]
     l2 = ll[:, None, :, :]
     pair = jnp.logaddexp(l1, l2) + jnp.log(0.5)
+    pair = jnp.where(mask[:, :, None, :], pair, 0.0)
     G_local = pair.sum(axis=-1)
     G = lax.psum(G_local, axis_name="rp")
     return ll, G
 
 
-def sharded_window_step(mesh: Mesh, H_pad: int, L_pad: int, numT: int, nh: int):
+def sharded_window_step(mesh: Mesh, H_pad: int, L_pad: int, numT: int,
+                        nh: int, dp_impl: str = "xla"):
     """Returns a jitted function over a packed window batch:
     inputs (W, B, ...) sharded windows over 'dp', pairs over 'rp'."""
-    fn = partial(_window_step_local, H_pad, L_pad, numT, nh)
-    in_spec = (P("dp", "rp"),) * 3 + (P("dp", "rp", None),) * 11 + (P(),)
+    fn = partial(_window_step_local, H_pad, L_pad, numT, nh, dp_impl)
+    in_spec = ((P("dp", "rp"),) * 3 + (P("dp", "rp", None),) * 11
+               + (P("dp", "rp"), P()))
 
     def wrapper(*args):
         return fn(args)
@@ -116,13 +125,22 @@ def pack_window_batch(windows, params: ObservationModelParameters,
         pks.append(pk)
     nh = pks[0]["nh"]
     nr = pks[0]["nr"]
-    assert nr % n_rp == 0, "nr must divide evenly over the rp axis"
-    nr_loc = nr // n_rp
-    perm = np.array([h * nr + (s * nr_loc + r)
+    # pad the read axis up to a multiple of the rp shard count (clones of
+    # the last read; masked out of the psum'd genotype matrix)
+    nr_pad = _round_up(nr, n_rp)
+    nr_loc = nr_pad // n_rp
+    pair_of = np.arange(nr_pad)
+    pair_of = np.where(pair_of < nr, pair_of, nr - 1)
+    perm = np.array([h * nr + pair_of[s * nr_loc + r]
                      for s in range(n_rp)
                      for h in range(nh)
                      for r in range(nr_loc)], np.int64)
+    real = np.array([(s * nr_loc + r) < nr
+                     for s in range(n_rp)
+                     for h in range(nh)
+                     for r in range(nr_loc)], bool)
     stacked = [np.stack([pk[k][perm] for pk in pks]) for k in PACK_KEYS]
+    stacked.append(np.broadcast_to(real, (len(pks), real.shape[0])).copy())
     stacked.append(pks[0]["scalars"])
     return stacked, pks[0]["H_pad"], pks[0]["L_pad"], pks[0]["numT"], nh
 
@@ -158,9 +176,15 @@ def synth_windows(n_windows: int, nh: int, nr: int, H: int, L: int, seed: int = 
 
 
 def dryrun_multichip(n_devices: int) -> None:
-    """Driver contract: build an n-device mesh, jit the full sharded window
-    step (dp x rp shardings with the rp psum collective) and execute one
-    step on tiny shapes."""
+    """Driver contract: build an n-device mesh and run BOTH multi-chip
+    paths on tiny shapes:
+
+    1. the production slab step the batched engine dispatches
+       (hmm.batch.run_packed_compact_sharded — pairs sharded over the
+       full dp x rp mesh), asserted bit-equal to the single-device run;
+    2. the dp x rp window step with the rp psum collective
+       (sharded_window_step), including an uneven read count that pads
+       onto the rp axis."""
     devices = jax.devices()
     if len(devices) < n_devices:
         raise RuntimeError(f"need {n_devices} devices, have {len(devices)}")
@@ -169,17 +193,33 @@ def dryrun_multichip(n_devices: int) -> None:
     mesh = make_mesh(n_dp, n_rp, devices)
 
     nh = 3
-    nr_per_shard = 4
-    nr = nr_per_shard * n_rp
+    nr = 4 * n_rp + 1  # deliberately uneven over rp
     W = 2 * n_dp
     windows = synth_windows(W, nh, nr, H=48, L=32)
     params = ObservationModelParameters()
+
+    # 1. engine slab path, sharded vs single device
+    from ..hmm.batch import (merge_compact, pack_pairs_compact, pad_compact,
+                             run_packed_compact, run_packed_compact_sharded)
+    pks = [pack_pairs_compact(haps, reads, hs, params, np.float32,
+                              H_pad=62, L_pad=32)
+           for haps, reads, hs in windows]
+    merged = pad_compact(merge_compact(pks))
+    ref = [np.asarray(o) for o in run_packed_compact(merged, "xla")]
+    got = [np.asarray(o)
+           for o in run_packed_compact_sharded(merged, "xla", mesh)]
+    for a, b in zip(ref, got):
+        assert a.shape == b.shape and (a == b).all(), \
+            "sharded slab step diverged from single-device"
+
+    # 2. dp x rp window step with the rp psum
     args, H_pad, L_pad, numT, nh_ = pack_window_batch(
         windows, params, dtype=np.float32, n_rp=n_rp)
     step = sharded_window_step(mesh, H_pad, L_pad, numT, nh_)
     with mesh:
         ll, G = step(*[jnp.asarray(a) for a in args])
         ll.block_until_ready()
-    assert ll.shape == (W, nh, nr)
+    nr_pad = _round_up(nr, n_rp)
+    assert ll.shape == (W, nh, nr_pad)
     assert G.shape == (W, nh, nh)
     assert bool(jnp.isfinite(G).all())

@@ -20,3 +20,41 @@ def test_entry_jits():
     out = jax.jit(fn)(*[jax.numpy.asarray(a) for a in args])
     ll = np.asarray(out[0])
     assert np.isfinite(ll).all()
+
+
+def test_engine_sharded_step_bit_equal(tmp_path):
+    """The PRODUCTION engine under --mesh must produce byte-identical GLF
+    output to the single-device engine on realistic windows (the sharded
+    slab step is the same expand/DP/finish per pair; pair-axis sharding
+    and padding must be invisible)."""
+    from dindel_tpu.config import Parameters
+    from dindel_tpu.engine.batched import BatchedWindowEngine
+    from dindel_tpu.engine.candidates import get_candidates
+    from dindel_tpu.pipeline.windows import make_windows
+    from dindel_tpu.sim import PlantedVariant, SimConfig, simulate
+
+    jax.config.update("jax_enable_x64", True)
+    assert len(jax.devices()) >= 8
+    variants = [PlantedVariant(pos=700, var="-ACG", genotype=1),
+                PlantedVariant(pos=1500, var="+TT", genotype=2)]
+    cfg = SimConfig(ref_len=2300, coverage=18, read_len=70)
+    fa, bam = simulate(str(tmp_path / "sim"), variants, cfg, seed=13)
+    var_file, _ = get_candidates(bam, str(tmp_path / "cand"), fa)
+    win_files = make_windows(var_file, str(tmp_path / "win"))
+
+    outs = {}
+    for name, mesh in (("single", None), ("mesh", (4, 2))):
+        params = Parameters()
+        params.do_diploid = True
+        params.estimate_hap_freqs = True
+        params.file_name = str(tmp_path / name)
+        eng = BatchedWindowEngine([bam], fa, params, batch_windows=8,
+                                  dp_impl="xla", dtype=np.float64,
+                                  mesh=mesh)
+        glf = str(tmp_path / f"{name}.glf.txt")
+        eng.detect_indels(win_files[0], glf)
+        assert eng.stats.windows_ok >= 2
+        eng.close()
+        outs[name] = open(glf).read()
+    assert "dip.map" in outs["single"]
+    assert outs["single"] == outs["mesh"]
