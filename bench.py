@@ -105,7 +105,9 @@ def main():
     def step(a):
         amid, bmid_, btf, btb = dp(pk["H_pad"], pk["L_pad"], pk["numT"], *a)
         return _finish(pk["H_pad"], pk["L_pad"], bm, amid, bmid_, obs_mid,
-                       prr, prh, btf, btb, exact_ties=not on_tpu)
+                       prr, prh, btf, btb, exact_ties=not on_tpu,
+                       bt_codes=on_tpu, numT=pk["numT"],
+                       hap_len=a[0] if on_tpu else None)
 
     # steady-state chain: K full (DP + finish) evaluations serialized on
     # device; iteration i+1's eq input depends on iteration i's ll output

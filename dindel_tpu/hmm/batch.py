@@ -244,12 +244,20 @@ def _dp_xla(H_pad, L_pad, numT,
     return alpha_mid, beta_mid, btf, btb
 
 
-@partial(jax.jit, static_argnames=("H_pad", "L_pad", "exact_ties"))
+@partial(jax.jit, static_argnames=("H_pad", "L_pad", "exact_ties",
+                                   "bt_codes", "numT"))
 def _finish(H_pad, L_pad, b_mid,
             alpha_mid, beta_mid, obs_mid, prior_rmq, prior_hmq, btf, btb,
-            exact_ties=True):
+            exact_ties=True, bt_codes=False, numT=0, hap_len=None):
     """bMid-slice likelihood folds (calcLikelihoodFromLastSlice,
     ObservationModelFB.cpp:1075-1144) + MAP-state reconstruction.
+
+    bt_codes=False: btf/btb are full source-state indices (the _dp_xla
+    format).  bt_codes=True: they are the Pallas kernel's nibble-packed
+    4-bit transition-class codes, (L-1, B, S_half); the source index is
+    reconstructed from (code, current state, hap_len) on the fly (decode
+    tables in pallas_kernel.expand_bt_codes's docstring) — requires
+    hap_len and numT.
 
     exact_ties=True emulates the reference's order-dependent EPS-guarded
     fold (:1096-1117) with a sequential lax.scan over all 2*(H_pad+2)
@@ -304,10 +312,46 @@ def _finish(H_pad, L_pad, b_mid,
             lik_fold, (neg, zero_i, neg, zero_i, neg, neg),
             jnp.arange(S, dtype=jnp.int32), unroll=8)
 
+    if bt_codes:
+        hl = hap_len.astype(jnp.int32)
+
+        def code_at(bt_b, cur):
+            x = cur % S_half
+            pack = jnp.take_along_axis(bt_b, x[:, None], axis=1)[:, 0]
+            c = jnp.where(cur >= S_half, pack >> 4, pack) & 15
+            return x, c
+
+        def decode_fwd(bt_b, cur):
+            x, c = code_at(bt_b, cur)
+            ins_nxt = jnp.where(c == 0, cur, x)
+            noins_int = jnp.where(c == 0, S_half + jnp.maximum(x - 1, 0),
+                                  jnp.where(c == 1, x,
+                                            jnp.maximum(x - (c - 1), 0)))
+            noins_ro = jnp.where(c == 0, S_half + RO,
+                                 jnp.where(c == 1, S_half + hl,
+                                           jnp.where(c == 2, RO, hl)))
+            noins_nxt = jnp.where(x == RO, noins_ro, noins_int)
+            return jnp.where(cur >= S_half, ins_nxt, noins_nxt)
+
+        def decode_bwd(bt_b, cur):
+            x, c = code_at(bt_b, cur)
+            x1 = jnp.where(x + 1 <= hl, x + 1, RO)
+            ins_nxt = jnp.where(c == 0, cur, jnp.where(c == 1, x, x1))
+            xy = x + (numT - c)
+            dely = jnp.where(xy <= hl, xy, RO)
+            noins_nxt = jnp.where(c == 0, S_half + x,
+                                  jnp.where(c == numT, x, dely))
+            return jnp.where(cur >= S_half, ins_nxt, noins_nxt)
+    else:
+        def decode_fwd(bt_b, cur):
+            return jnp.take_along_axis(bt_b.astype(jnp.int32),
+                                       cur[:, None], axis=1)[:, 0]
+
+        decode_bwd = decode_fwd
+
     def down_body(cur, t):
         b = t
-        bt_b = btf[b - 1].astype(jnp.int32)
-        nxt = jnp.take_along_axis(bt_b, cur[:, None], axis=1)[:, 0]
+        nxt = decode_fwd(btf[b - 1], cur)
         cur2 = jnp.where(b <= b_mid, nxt, cur)
         return cur2, cur2
 
@@ -316,8 +360,7 @@ def _finish(H_pad, L_pad, b_mid,
     down_states = down_states[::-1]
 
     def up_body(cur, b):
-        bt_b = btb[b].astype(jnp.int32)
-        nxt = jnp.take_along_axis(bt_b, cur[:, None], axis=1)[:, 0]
+        nxt = decode_bwd(btb[b], cur)
         cur2 = jnp.where(b >= b_mid, nxt, cur)
         return cur2, cur2
 
@@ -390,7 +433,9 @@ def run_packed(pk: dict, dp_impl: str = "xla", exact_ties: bool = None):
     out = _finish(pk["H_pad"], pk["L_pad"], jnp.asarray(pk["b_mid"]),
                   alpha_mid, beta_mid, obs_mid,
                   jnp.asarray(pk["prior_rmq"]), jnp.asarray(pk["prior_hmq"]),
-                  btf, btb, exact_ties=exact_ties)
+                  btf, btb, exact_ties=exact_ties,
+                  bt_codes=(dp_impl == "pallas"), numT=pk["numT"],
+                  hap_len=jnp.asarray(pk["hap_len"]))
     # map_state values < 2*(H_pad+2): ship int16 when that fits (halves
     # the biggest host fetch)
     if 2 * (pk["H_pad"] + 2) < 2 ** 15:
@@ -669,7 +714,9 @@ def _compact_core(H_pad, L_pad, numT, dt_str, dp_impl, exact_ties,
         H_pad, L_pad, numT, hap_len, read_len, b_mid,
         read_codes, hap_codes, eq, uq, lpe, lpn, lpeV, lpnV, scalars)
     out = _finish(H_pad, L_pad, b_mid, alpha_mid, beta_mid, obs_mid,
-                  prior_rmq, prior_hmq, btf, btb, exact_ties=exact_ties)
+                  prior_rmq, prior_hmq, btf, btb, exact_ties=exact_ties,
+                  bt_codes=(dp_impl == "pallas"), numT=numT,
+                  hap_len=hap_len)
     if 2 * (H_pad + 2) < 2 ** 15:
         out = out[:-1] + (out[-1].astype(jnp.int16),)
     return out

@@ -46,16 +46,25 @@ TB_DEFAULT = 128
 HOIST_DEFAULT = "all"
 
 
-def _fold_exact(dest_v, dest_i, cand_v, cand_i):
+def _fold_exact(dest_v, dest_c, cand_v, cand_c):
+    """updateMax on (value, transition-class rank).  Ranks are assigned in
+    DESCENDING source-index order per destination lane, so the reference's
+    tie-to-lower-index rule `dest_i > cand_i` becomes `cand_c > dest_c`.
+    Candidates that share a source index (deletion jumps clamped to the
+    same boundary state) get distinct ranks, but they reconstruct to the
+    same index in _finish and their values can never fall inside the
+    (0, TIE] band (they differ by >= 0.5 in true value, which either
+    rounds to 0 or stays >> TIE in float), so rank-compare == index-compare
+    everywhere it matters."""
     take = cand_v > dest_v + EPS
-    tie = (cand_v >= dest_v) & (cand_v <= dest_v + TIE) & (dest_i > cand_i)
+    tie = (cand_v >= dest_v) & (cand_v <= dest_v + TIE) & (cand_c > dest_c)
     take = take | tie
-    return jnp.where(take, cand_v, dest_v), jnp.where(take, cand_i, dest_i)
+    return jnp.where(take, cand_v, dest_v), jnp.where(take, cand_c, dest_c)
 
 
-def _fold_fast(dest_v, dest_i, cand_v, cand_i):
-    take = (cand_v > dest_v) | ((cand_v == dest_v) & (dest_i > cand_i))
-    return jnp.where(take, cand_v, dest_v), jnp.where(take, cand_i, dest_i)
+def _fold_fast(dest_v, dest_c, cand_v, cand_c):
+    take = (cand_v > dest_v) | ((cand_v == dest_v) & (cand_c > dest_c))
+    return jnp.where(take, cand_v, dest_v), jnp.where(take, cand_c, dest_c)
 
 
 def _roll_right(x, y, fill):
@@ -124,7 +133,13 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
         hapat_ref[:] = _roll_right(hap_codes_ref[:], 1, jnp.int32(NCODE))
         on_hap = (lane >= 1) & (lane <= hl)
 
-        # ---- loop-invariant candidate costs / indices ----
+        # ---- loop-invariant candidate costs ----
+        # Backpointers are stored as 4-bit transition-class ranks (not
+        # state indices): the fold's tie-break operands become small
+        # constants, and the per-step bt DMA shrinks from (TB, 2*SP) int32
+        # to one nibble-packed (TB, SP) plane.  _finish reconstructs the
+        # source index from (rank, dest lane, hap_len); the full decode
+        # tables live in expand_bt_codes below.
         def dec_invariants():
             # Dec: lp(y) dest-indexed; the (src + lp) + lpn association
             # matches _dp_xla exactly (float order matters for bit-parity)
@@ -134,12 +149,10 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
             lpeH = jnp.sum(lpe * maskH, axis=1, keepdims=True)
             lpeROv = lpe[:, RO:RO + 1]
             dec_lp = []
-            dec_srci = []
             for y in range(1, numT):
                 dec_lp.append(lpn if y == 1
                               else (lpe + (y - 1) * logpInsgIns))
-                dec_srci.append(jnp.maximum(lane - y, 0))
-            return dec_lp, dec_srci, lpe, lpn, maskH, lpeH, lpeROv
+            return dec_lp, lpe, lpn, maskH, lpeH, lpeROv
 
         def inc_invariants():
             # Inc: cost src-indexed with per-hap RO clamping
@@ -148,20 +161,16 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
             lpeROv = lpe[:, RO:RO + 1]
             lpnROv = lpn[:, RO:RO + 1]
             inc_cost = []
-            inc_srci = []
             for y in range(1, numT):
                 clamped = (lane + y) <= hl
                 s_lpe = jnp.where(clamped, _roll_left(lpe, y), lpeROv)
                 s_lpn = jnp.where(clamped, _roll_left(lpn, y), lpnROv)
                 lp = s_lpn if y == 1 else (s_lpe + (y - 1) * logpInsgIns)
                 inc_cost.append(lp + s_lpn)
-                inc_srci.append(jnp.where(clamped, lane + y, RO))
             clamped1 = (lane + 1) <= hl
-            inc_src_i1 = jnp.where(clamped1, lane + 1, RO)
             # insertion-open cost lpe[x+1] (0 at RO)
             lpe_x1 = jnp.where(isRO, 0.0, _roll_left(lpe, 1))
-            return (inc_cost, inc_srci, clamped1, inc_src_i1, lpe_x1,
-                    lpnROv)
+            return (inc_cost, clamped1, lpe_x1, lpnROv)
 
         if hoist == "all":
             dec_inv = dec_invariants()
@@ -191,25 +200,26 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
         num_tiles = pl.num_programs(0)
 
         def bt_dma(hbm_ref, b_index, buf_ref, s):
-            # hbm_ref is 2-D (L*B, S2); row block = b_index*B + tile*TB
+            # hbm_ref is 2-D (L*B, SP); row block = b_index*B + tile*TB
             row = (b_index * num_tiles + i) * TB
             return pltpu.make_async_copy(
                 buf_ref, hbm_ref.at[pl.ds(row, TB), :], dma_sems.at[s])
 
-        def bt_write(hbm_ref, step, b_index, noins_i, ins_i):
-            """Stage + DMA the backpointers of pass-step `step` (write row
-            block `b_index`), double-buffered: the copy started at step k
-            is waited on at step k+2, overlapping it with the next steps'
-            compute.  `step` counts 0.. within each pass; `b_index` is the
-            HBM slice (they differ in the backward pass).  wait() only
-            consumes the semaphore, so the descriptor's address args need
-            not match the copy being waited on."""
+        def bt_write(hbm_ref, step, b_index, noins_c, ins_c):
+            """Stage + DMA the backpointer class codes of pass-step `step`
+            (write row block `b_index`), double-buffered: the copy started
+            at step k is waited on at step k+2, overlapping it with the
+            next steps' compute.  The noins and ins 4-bit codes are packed
+            into one int32 plane (lo/hi nibble).  `step` counts 0.. within
+            each pass; `b_index` is the HBM slice (they differ in the
+            backward pass).  wait() only consumes the semaphore, so the
+            descriptor's address args need not match the copy being waited
+            on."""
             def issue(buf_ref, s):
                 @pl.when(step >= 2)
                 def _():
                     bt_dma(hbm_ref, b_index, buf_ref, s).wait()
-                buf_ref[:, :SP] = noins_i
-                buf_ref[:, SP:] = ins_i
+                buf_ref[:] = noins_c + ins_c * 16
                 bt_dma(hbm_ref, b_index, buf_ref, s).start()
 
             @pl.when(lax.rem(step, 2) == 0)
@@ -235,7 +245,7 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
             dec_inv = dec_invariants()
 
         def fwd_body(b, _):
-            (dec_lp, dec_srci, lpe, lpn, maskH, lpeH, lpeROv) = (
+            (dec_lp, lpe, lpn, maskH, lpeH, lpeROv) = (
                 dec_invariants() if hoist == "none" else dec_inv)
             obs_n, e = obs_current()  # read base b-1
             Wn = an_ref[:] + obs_n
@@ -246,47 +256,49 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
             WnH = jnp.sum(Wn * maskH, axis=1, keepdims=True)
             WiH = jnp.sum(Wi * maskH, axis=1, keepdims=True)
 
-            # dest RO fold (4 candidates in reference order)
+            # dest RO fold (4 candidates in reference order); rank order
+            # (descending src index): ins RO(0) > ins hl(1) > noins RO(2)
+            # > noins hl(3)
             dRO_v = WnRO + (logpLOgLO + logpNoInsgNoIns)
-            dRO_i = jnp.full((TB, 1), RO, jnp.int32)
-            dRO_v, dRO_i = _fold(dRO_v, dRO_i,
-                                 WnH + (logpFirstgLO + logpNoInsgNoIns), hl)
+            dRO_c = jnp.full((TB, 1), 2, jnp.int32)
+            dRO_v, dRO_c = _fold(dRO_v, dRO_c,
+                                 WnH + (logpFirstgLO + logpNoInsgNoIns), 3)
 
-            # dest x deletion/match candidates
+            # dest x deletion/match candidates; interior ranks: ins exit
+            # x-1(0) > self x(1) > del src x-y(1+y)
             dx_v = jnp.full((TB, SP), NEGBIG, Wn.dtype)
-            dx_i = lane
+            dx_c = jnp.full((TB, SP), 1, jnp.int32)
             for y in range(1, numT):
                 src = _roll_right(Wn, y, Wn0)
-                dx_v, dx_i = _fold(dx_v, dx_i, src + dec_lp[y - 1] + lpn,
-                                   dec_srci[y - 1])
+                dx_v, dx_c = _fold(dx_v, dx_c, src + dec_lp[y - 1] + lpn,
+                                   1 + y)
 
             d0_v = Wn0 + logpNoInsgNoIns
 
-            dRO_v, dRO_i = _fold(dRO_v, dRO_i,
-                                 WiRO + logpLOgLO + lpeROv,
-                                 jnp.full((TB, 1), SP + RO, jnp.int32))
-            dRO_v, dRO_i = _fold(dRO_v, dRO_i,
-                                 WiH + logpFirstgLO + lpeH, SP + hl)
+            dRO_v, dRO_c = _fold(dRO_v, dRO_c,
+                                 WiRO + logpLOgLO + lpeROv, 0)
+            dRO_v, dRO_c = _fold(dRO_v, dRO_c,
+                                 WiH + logpFirstgLO + lpeH, 1)
 
             # insertion exit onto hap: src ins(x-1)
             srcWi = _roll_right(Wi, 1, Wi[:, 0:1])
-            dx_v, dx_i = _fold(dx_v, dx_i, srcWi + lpe,
-                               SP + jnp.maximum(lane - 1, 0))
+            dx_v, dx_c = _fold(dx_v, dx_c, srcWi + lpe, 0)
 
-            # insertion lanes: extension assign then open fold (x >= 1)
+            # insertion lanes: extension assign then open fold (x >= 1);
+            # ranks: self ins x(0) > noins x(1)
             di_v = Wi + logpInsgIns
-            di_i = SP + lane
+            di_c = jnp.zeros((TB, SP), jnp.int32)
             open_ok = lane >= 1
-            di_v, di_i = _fold(di_v, di_i,
+            di_v, di_c = _fold(di_v, di_c,
                                jnp.where(open_ok, Wn + logpNoInsgIns, NEGBIG),
-                               jnp.where(open_ok, lane, di_i))
+                               jnp.where(open_ok, 1, 0))
 
             noins_v = jnp.where(is0, d0_v, jnp.where(isRO, dRO_v, dx_v))
-            noins_i = jnp.where(is0, 0, jnp.where(isRO, dRO_i, dx_i))
+            noins_c = jnp.where(is0, 1, jnp.where(isRO, dRO_c, dx_c))
             noins_v = jnp.where(live, noins_v, NEGBIG)
-            noins_i = jnp.where(live, noins_i, lane)
+            noins_c = jnp.where(live, noins_c, 1)
             ins_v = jnp.where(live, di_v, NEGBIG)
-            ins_i = jnp.where(live, di_i, SP + lane)
+            ins_c = jnp.where(live, di_c, 0)
 
             an_ref[:] = noins_v
             ai_ref[:] = ins_v
@@ -296,7 +308,7 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
             amid_ref[:, SP:] = jnp.where(sel, ins_v, amid_ref[:, SP:])
 
             if emit_bt:
-                bt_write(btf_hbm, b - 1, b - 1, noins_i, ins_i)
+                bt_write(btf_hbm, b - 1, b - 1, noins_c, ins_c)
             advance(L_pad - 1)  # rotate left by one lane
             return 0
 
@@ -318,7 +330,7 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
         # have read_len <= L_act)
 
         def bwd_body(t, _):
-            (inc_cost, inc_srci, clamped1, inc_src_i1, lpe_x1, lpnROv) = (
+            (inc_cost, clamped1, lpe_x1, lpnROv) = (
                 inc_invariants() if hoist == "none" else inc_inv)
             b = L_act - 1 - t
             obs_n, e = obs_current()  # read base b
@@ -328,58 +340,61 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
             Wn0 = Wn[:, 0:1]
             Wn1 = Wn[:, 1:2]
 
+            # noins ranks (descending src index): ins x(0) > del src
+            # clamp(x+y)(numT-y) > self x(numT).  Clamped deletion jumps
+            # share src RO with distinct ranks — same reconstructed index,
+            # and never value-tied within TIE (see _fold_exact docstring).
             # dest 0 fold
             d0_v = Wn0 + (logpLOgLO + logpNoInsgNoIns)
-            d0_i = jnp.zeros((TB, 1), jnp.int32)
-            d0_v, d0_i = _fold(d0_v, d0_i,
+            d0_c = jnp.full((TB, 1), numT, jnp.int32)
+            d0_v, d0_c = _fold(d0_v, d0_c,
                                Wn1 + (logpFirstgLO + logpNoInsgNoIns),
-                               jnp.ones((TB, 1), jnp.int32))
+                               numT - 1)
 
             dx_v = jnp.full((TB, SP), NEGBIG, Wn.dtype)
-            dx_i = lane
+            dx_c = jnp.full((TB, SP), numT, jnp.int32)
             for y in range(1, numT):
                 clamped = (lane + y) <= hl
                 srcW = jnp.where(clamped, _roll_left(Wn, y), WnRO)
-                dx_v, dx_i = _fold(dx_v, dx_i, inc_cost[y - 1] + srcW,
-                                   inc_srci[y - 1])
+                dx_v, dx_c = _fold(dx_v, dx_c, inc_cost[y - 1] + srcW,
+                                   numT - y)
 
             dRO_v = WnRO + lpnROv
-            dRO_i = jnp.full((TB, 1), RO, jnp.int32)
+            dRO_c = jnp.full((TB, 1), numT, jnp.int32)
 
             # insertion open: dest x <- src ins x, cost lpe[x+1] (0 at RO)
             cand = Wi + lpe_x1
-            dx_v, dx_i = _fold(dx_v, dx_i, cand, SP + lane)
-            d0_v, d0_i = _fold(d0_v, d0_i, cand[:, 0:1],
-                               jnp.full((TB, 1), SP, jnp.int32))
-            dRO_v, dRO_i = _fold(dRO_v, dRO_i, cand[:, RO:RO + 1],
-                                 jnp.full((TB, 1), SP + RO, jnp.int32))
+            dx_v, dx_c = _fold(dx_v, dx_c, cand, 0)
+            d0_v, d0_c = _fold(d0_v, d0_c, cand[:, 0:1], 0)
+            dRO_v, dRO_c = _fold(dRO_v, dRO_c, cand[:, RO:RO + 1], 0)
 
             # insertion lanes: extension assign, then one exit/open fold.
             # Lane 0's candidate is (Wn[0] + logpNoInsgIns, idx 0)
             # (FBMaxErr::passMessageTwoInc step 6 first line); lanes >= 1
             # exit to noins clamp(x+1).  A single lane-selected fold keeps
             # Mosaic happy (a where-merge of fold-output slices crashes its
-            # layout inference).
+            # layout inference).  ins ranks: self ins x(0) > noins 0 at
+            # lane 0(1) / noins clamp(x+1)(2).
             di_v = Wi + logpInsgIns
-            di_i = SP + lane
+            di_c = jnp.zeros((TB, SP), jnp.int32)
             srcW1 = jnp.where(clamped1, _roll_left(Wn, 1), WnRO)
             cand_v = jnp.where(is0, Wn0, srcW1) + logpNoInsgIns
-            cand_i = jnp.where(is0, 0, inc_src_i1)
-            di_v, di_i = _fold(di_v, di_i, cand_v, cand_i)
+            cand_c = jnp.where(is0, 1, 2)
+            di_v, di_c = _fold(di_v, di_c, cand_v, cand_c)
 
             noins_v = jnp.where(is0, d0_v, jnp.where(isRO, dRO_v, dx_v))
-            noins_i = jnp.where(is0, d0_i, jnp.where(isRO, dRO_i, dx_i))
+            noins_c = jnp.where(is0, d0_c, jnp.where(isRO, dRO_c, dx_c))
             noins_v = jnp.where(live, noins_v, NEGBIG)
-            noins_i = jnp.where(live, noins_i, lane)
+            noins_c = jnp.where(live, noins_c, numT)
             ins_v = jnp.where(live, di_v, NEGBIG)
-            ins_i = jnp.where(live, di_i, SP + lane)
+            ins_c = jnp.where(live, di_c, 0)
 
             # padded-slice rule: beta[b-1] = 0 when b-1 >= read_len-1
             pad = (b - 1) >= (rlen - 1)
             noins_v = jnp.where(pad, 0.0, noins_v)
             ins_v = jnp.where(pad, 0.0, ins_v)
-            noins_i = jnp.where(pad, lane, noins_i)
-            ins_i = jnp.where(pad, SP + lane, ins_i)
+            noins_c = jnp.where(pad, numT, noins_c)
+            ins_c = jnp.where(pad, 0, ins_c)
 
             an_ref[:] = noins_v
             ai_ref[:] = ins_v
@@ -388,7 +403,7 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
             bmid_ref[:, SP:] = jnp.where(sel, ins_v, bmid_ref[:, SP:])
 
             if emit_bt:
-                bt_write(btb_hbm, t, b - 1, noins_i, ins_i)
+                bt_write(btb_hbm, t, b - 1, noins_c, ins_c)
             advance(1)  # rotate right by one lane
             return 0
 
@@ -405,7 +420,11 @@ def dp_pallas(H_pad, L_pad, numT,
               exact_ties=False, tb=None, hoist=None, emit_bt=True,
               unroll=1, anchor_bounds=True, quantize=True):
     """Pallas implementation of the DP passes; same contract as _dp_xla
-    (lpeV/lpnV are recomputed in-kernel via lane rolls and ignored).
+    (lpeV/lpnV are recomputed in-kernel via lane rolls and ignored),
+    except that backpointers come back as nibble-packed 4-bit transition
+    class codes, (L_pad-1, B, S_half) int32 (lo nibble = noins dest, hi
+    nibble = ins dest) — decode with _finish(bt_codes=True) or, on host,
+    expand_bt_codes.
 
     Backpointer slices for b >= max(read_len) are left uninitialized in
     HBM; _finish only consumes slices below each pair's read length.
@@ -423,6 +442,10 @@ def dp_pallas(H_pad, L_pad, numT,
     if SP % 128 != 0:
         raise ValueError("pallas DP requires S_half % 128 == 0 "
                          "(choose H_pad = 128k - 2 in pack_pairs)")
+    if numT > 15:
+        raise ValueError("pallas DP stores 4-bit backpointer class codes; "
+                         "numT = maxLengthDel + 2 must be <= 15 "
+                         f"(got {numT}) — use the XLA path beyond that")
     S2 = 2 * SP
     dtype = eq.dtype
     L_act = int(np.asarray(read_len).max()) if not isinstance(read_len, jax.core.Tracer) else L_pad
@@ -481,6 +504,55 @@ def dp_pallas(H_pad, L_pad, numT,
 _TRACED_CACHE = {}
 
 
+def expand_bt_codes(btf, btb, hap_len, H_pad, numT):
+    """Host-side (numpy) expansion of nibble-packed backpointer class
+    codes into full source-state index planes, (L, B, 2*S_half) int32 —
+    the _dp_xla backpointer format.  For differential tests; _finish
+    decodes along the MAP path only.
+
+    Forward (Dec) codes, at dest lane x:
+      noins interior: 0 -> ins x-1, 1 -> self, 1+y -> noins max(x-y, 0)
+      noins RO:       0 -> ins RO, 1 -> ins hl, 2 -> noins RO, 3 -> noins hl
+      ins:            0 -> ins x (extend), 1 -> noins x (open)
+    Backward (Inc) codes:
+      noins: 0 -> ins x, numT -> self, c -> noins clamp(x + (numT-c))
+      ins:   0 -> ins x, 1 -> noins 0 (lane 0 only), 2 -> noins clamp(x+1)
+    where clamp(v) = v if v <= hap_len else RO."""
+    btf = np.asarray(btf)
+    btb = np.asarray(btb)
+    hl = np.asarray(hap_len).astype(np.int64)[None, :, None]
+    SP = H_pad + 2
+    RO = H_pad + 1
+    x = np.arange(SP, dtype=np.int64)[None, None, :]
+
+    def fwd(codes):
+        cn = codes & 15
+        ci = (codes >> 4) & 15
+        noins_int = np.where(cn == 0, SP + np.maximum(x - 1, 0),
+                             np.where(cn == 1, x,
+                                      np.maximum(x - (cn - 1), 0)))
+        noins_ro = np.where(cn == 0, SP + RO,
+                            np.where(cn == 1, SP + hl,
+                                     np.where(cn == 2, RO, hl)))
+        noins = np.where(x == RO, noins_ro, noins_int)
+        ins = np.where(ci == 0, SP + x, x)
+        return np.concatenate([noins, ins], axis=2).astype(np.int32)
+
+    def bwd(codes):
+        cn = codes & 15
+        ci = (codes >> 4) & 15
+        y = numT - cn
+        xy = x + y
+        dely = np.where(xy <= hl, xy, RO)
+        noins = np.where(cn == 0, SP + x,
+                         np.where(cn == numT, x, dely))
+        x1 = np.where(x + 1 <= hl, x + 1, RO)
+        ins = np.where(ci == 0, SP + x, np.where(ci == 1, x, x1))
+        return np.concatenate([noins, ins], axis=2).astype(np.int32)
+
+    return fwd(btf), bwd(btb)
+
+
 def _build_call(H_pad, L_pad, L_act, numT, scal, exact_ties, TB, hoist,
                 emit_bt, unroll, MB, MN, Bp, interpret):
     SP = H_pad + 2
@@ -535,15 +607,15 @@ def _build_call(H_pad, L_pad, L_act, numT, scal, exact_ties, TB, hoist,
         out_shape = (
             jax.ShapeDtypeStruct((Bp, S2), dtype),                    # amid
             jax.ShapeDtypeStruct((Bp, S2), dtype),                    # bmid
-            jax.ShapeDtypeStruct(((L_pad - 1) * Bp, S2), jnp.int32),  # btf
-            jax.ShapeDtypeStruct(((L_pad - 1) * Bp, S2), jnp.int32),  # btb
+            jax.ShapeDtypeStruct(((L_pad - 1) * Bp, SP), jnp.int32),  # btf
+            jax.ShapeDtypeStruct(((L_pad - 1) * Bp, SP), jnp.int32),  # btb
         )
         scratch_shapes = [
             pltpu.VMEM((TB, SP), dtype),       # an
             pltpu.VMEM((TB, SP), dtype),       # ai
             pltpu.VMEM((TB, SP), jnp.int32),   # hap base codes at lane
-            pltpu.VMEM((TB, S2), jnp.int32),   # bt staging (even steps)
-            pltpu.VMEM((TB, S2), jnp.int32),   # bt staging (odd steps)
+            pltpu.VMEM((TB, SP), jnp.int32),   # bt staging (even steps)
+            pltpu.VMEM((TB, SP), jnp.int32),   # bt staging (odd steps)
             pltpu.VMEM((TB, L_pad), jnp.int32),  # rolling read codes
             pltpu.VMEM((TB, L_pad), dtype),      # rolling eq
             pltpu.VMEM((TB, L_pad), dtype),      # rolling uq
@@ -558,12 +630,16 @@ def _build_call(H_pad, L_pad, L_act, numT, scal, exact_ties, TB, hoist,
             out_specs=out_specs,
             out_shape=out_shape,
             scratch_shapes=scratch_shapes,
-            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True,
+                # TB > 128 needs more than the 16 MB default scoped VMEM
+                # (the hoisted invariants + rolling copies scale with TB)
+                vmem_limit_bytes=(100 * 2 ** 20 if TB > 128 else None)),
             interpret=interpret,
         )(wide(hap_len_), wide(read_len_), wide(b_mid_),
           i32(read_codes_), i32(hap_codes_), eq_, uq_, lpe_, lpn_)
-        btf = btf.reshape(L_pad - 1, Bp, S2)
-        btb = btb.reshape(L_pad - 1, Bp, S2)
+        btf = btf.reshape(L_pad - 1, Bp, SP)
+        btb = btb.reshape(L_pad - 1, Bp, SP)
         return amid, bmid_, btf, btb
 
     return call

@@ -66,7 +66,8 @@ def _window_step_local(H_pad, L_pad, numT, nh, dp_impl, args):
         (hl, rl, bm, rc, hc, e, u, le, ln, leV, lnV, prr, prh, om, sc) = a
         amid, bmid_, btf, btb = dp(H_pad, L_pad, numT, hl, rl, bm, rc,
                                    hc, e, u, le, ln, leV, lnV, sc)
-        out = _finish(H_pad, L_pad, bm, amid, bmid_, om, prr, prh, btf, btb)
+        out = _finish(H_pad, L_pad, bm, amid, bmid_, om, prr, prh, btf, btb,
+                      bt_codes=(dp_impl == "pallas"), numT=numT, hap_len=hl)
         return out[0]  # ll, (B,) = (nh * nr_loc,)
 
     ll = jax.vmap(one_window)(

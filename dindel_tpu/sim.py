@@ -106,6 +106,75 @@ def _cigar_for_read(read_start_alt: int, read_len: int,
     return start_ref, ops
 
 
+class _HapColumns:
+    """Per-haplotype alt->ref column map, built once so each read's CIGAR
+    is an O(read_len) slice instead of an O(ref_len) walk (the full-walk
+    _cigar_for_read is kept above as the differential reference;
+    tests/test_engine_misc.py::test_sim_fast_cigar_matches_walk)."""
+
+    def __init__(self, variants: List[PlantedVariant], ref: str):
+        col_ref: List[int] = []    # ref_pos per alt column (ins columns
+        col_ins: List[bool] = []   # carry the event's ref_pos)
+        del_at: Dict[int, int] = {}  # alt boundary -> deletion length
+        ref_pos = 0
+        events = sorted(variants, key=lambda v: v.pos)
+        ei = 0
+        n = len(ref)
+        while ref_pos <= n:
+            if ei < len(events) and events[ei].pos == ref_pos:
+                v = events[ei]
+                ei += 1
+                if v.var.startswith("+"):
+                    ln = len(v.var) - 1
+                    col_ref.extend([ref_pos] * ln)
+                    col_ins.extend([True] * ln)
+                elif v.var.startswith("-"):
+                    ln = len(v.var) - 1
+                    del_at[len(col_ref)] = del_at.get(len(col_ref), 0) + ln
+                    ref_pos += ln
+                # SNP: plain match column, falls through
+                continue
+            if ref_pos == n:
+                break
+            col_ref.append(ref_pos)
+            col_ins.append(False)
+            ref_pos += 1
+        self.col_ref = col_ref
+        self.col_ins = col_ins
+        self.del_at = del_at
+        self.end_ref = ref_pos
+
+    def cigar(self, start: int, read_len: int) -> Tuple[int, List[Tuple[str, int]]]:
+        """Same contract as _cigar_for_read(start, read_len, ...)."""
+        end = start + read_len
+        ncol = len(self.col_ref)
+        ops: List[Tuple[str, int]] = []
+
+        def emit(op: str, k: int):
+            if k <= 0:
+                return
+            if ops and ops[-1][0] == op:
+                ops[-1] = (op, ops[-1][1] + k)
+            else:
+                ops.append((op, k))
+
+        start_ref = None
+        for a in range(start, min(end, ncol)):
+            if a > start and a in self.del_at:
+                emit("D", self.del_at[a])
+            if self.col_ins[a]:
+                if start_ref is None and a == start:
+                    start_ref = self.col_ref[a]
+                emit("I", 1)
+            else:
+                if start_ref is None:
+                    start_ref = self.col_ref[a]
+                emit("M", 1)
+        if start_ref is None:
+            start_ref = self.end_ref
+        return start_ref, ops
+
+
 @dataclass
 class SimConfig:
     ref_len: int = 2000
@@ -139,6 +208,8 @@ def simulate(path_prefix: str, variants: List[PlantedVariant],
 
     alt = apply_variants(ref, variants)
     het = [v for v in variants]
+    cols_alt = _HapColumns(het, ref)
+    cols_ref = _HapColumns([], ref)
 
     header = BamHeader(
         text=(f"@HD\tVN:1.3\tSO:coordinate\n"
@@ -152,7 +223,7 @@ def simulate(path_prefix: str, variants: List[PlantedVariant],
         hom = all(v.genotype == 2 for v in variants) if variants else False
         use_alt = variants and (hom or rng.random() < 0.5)
         hap = alt if use_alt else ref
-        hap_vars = het if use_alt else []
+        cols = cols_alt if use_alt else cols_ref
         if cfg.paired:
             isize = max(2 * cfg.read_len + 2,
                         int(rng.gauss(cfg.insert_mean, cfg.insert_sd)))
@@ -172,7 +243,7 @@ def simulate(path_prefix: str, variants: List[PlantedVariant],
                 if rng.random() < cfg.error_rate:
                     seq[b] = rng.choice(BASES)
             seq = "".join(seq)
-            ref_start, cigar = _cigar_for_read(start, cfg.read_len, hap_vars, ref)
+            ref_start, cigar = cols.cigar(start, cfg.read_len)
             made.append((ref_start, cigar, seq, is_rev))
         if cfg.paired and len(made) == 2:
             (p1, c1, s1, _), (p2, c2, s2, _) = made

@@ -140,3 +140,42 @@ def test_first_overlapping_bisect_equals_linear():
             b = a + rng.randrange(0, 12)
             assert hd._first_overlapping(a, b) == linear(hd.blocks, a, b), \
                 (trial, a, b)
+
+
+def test_sim_fast_cigar_matches_walk():
+    """sim._HapColumns.cigar (O(read_len) slice) vs the full-walk
+    _cigar_for_read reference on randomized variant layouts."""
+    import random
+    from dindel_tpu.sim import PlantedVariant, _cigar_for_read, _HapColumns
+
+    rng = random.Random(7)
+    BASES = "ACGT"
+    for _ in range(40):
+        n = rng.randint(200, 600)
+        ref = "".join(rng.choice(BASES) for _ in range(n))
+        variants = []
+        last = -100
+        for p in sorted(rng.sample(range(10, n - 20), rng.randint(0, 5))):
+            if p - last < 8:
+                continue
+            last = p
+            k = rng.randint(1, 3)
+            kind = rng.randint(0, 2)
+            if kind == 0:
+                variants.append(PlantedVariant(
+                    pos=p, var="+" + "".join(rng.choice(BASES)
+                                             for _ in range(k)), genotype=1))
+            elif kind == 1:
+                variants.append(PlantedVariant(
+                    pos=p, var="-" + ref[p:p + k], genotype=1))
+            else:
+                variants.append(PlantedVariant(
+                    pos=p, var=ref[p] + "=>"
+                    + rng.choice(BASES.replace(ref[p], "")), genotype=1))
+        cols = _HapColumns(variants, ref)
+        alt_len = len(cols.col_ref)
+        L = rng.randint(20, 100)
+        for _ in range(20):
+            s = rng.randrange(0, max(1, alt_len - L))
+            assert (_cigar_for_read(s, L, variants, ref)
+                    == cols.cigar(s, L))

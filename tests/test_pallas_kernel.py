@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from dindel_tpu.config import ObservationModelParameters
 from dindel_tpu.hmm.batch import pack_pairs, _dp_xla
-from dindel_tpu.hmm.pallas_kernel import dp_pallas
+from dindel_tpu.hmm.pallas_kernel import dp_pallas, expand_bt_codes
 from dindel_tpu.parallel.mesh import synth_windows
 
 
@@ -22,9 +22,13 @@ def test_pallas_matches_xla_interpret():
     args = [jnp.asarray(pk[k]) for k in keys] + [jnp.asarray(pk["scalars"])]
     a1, b1, f1, g1 = [np.asarray(x) for x in _dp_xla(
         pk["H_pad"], pk["L_pad"], pk["numT"], *args)]
-    a2, b2, f2, g2 = [np.asarray(x) for x in dp_pallas(
+    a2, b2, f2c, g2c = [np.asarray(x) for x in dp_pallas(
         pk["H_pad"], pk["L_pad"], pk["numT"], *args,
         interpret=True, exact_ties=True)]
+    # Pallas emits nibble-packed transition-class codes; expand to the
+    # _dp_xla full-index format for the comparison
+    f2, g2 = expand_bt_codes(f2c, g2c, pk["hap_len"], pk["H_pad"],
+                             pk["numT"])
     L_act = int(pk["read_len"].max())
     assert np.abs(a1 - a2).max() == 0.0
     assert np.abs(b1 - b2).max() == 0.0
@@ -54,14 +58,15 @@ def test_pallas_finish_matches_xla():
     prh = jnp.asarray(pk["prior_hmq"])
     bm = jnp.asarray(pk["b_mid"])
 
-    def fin(dp_out):
+    def fin(dp_out, bt_codes=False):
         return [np.asarray(o) for o in _finish(
             pk["H_pad"], pk["L_pad"], bm, *dp_out[:2], obs_mid, prr, prh,
-            *dp_out[2:], exact_ties=True)]
+            *dp_out[2:], exact_ties=True, bt_codes=bt_codes,
+            numT=pk["numT"], hap_len=jnp.asarray(pk["hap_len"]))]
 
     ref = fin(_dp_xla(pk["H_pad"], pk["L_pad"], pk["numT"], *args))
     got = fin(dp_pallas(pk["H_pad"], pk["L_pad"], pk["numT"], *args,
-                        interpret=True, exact_ties=True))
+                        interpret=True, exact_ties=True), bt_codes=True)
     valid = (np.arange(pk["L_pad"])[None, :]
              < np.asarray(pk["read_len"])[:, None])
     names = ("ll", "off_hap", "off_hap_hmq", "ll_off", "ll_on", "map_state")

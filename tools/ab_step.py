@@ -66,7 +66,8 @@ def main():
     def run_full(kw):
         amid, bmid_, btf, btb = run_dp(kw)
         return _finish(pk["H_pad"], pk["L_pad"], bm, amid, bmid_, obs_mid,
-                       prr, prh, btf, btb, exact_ties=False)
+                       prr, prh, btf, btb, exact_ties=False,
+                       bt_codes=True, numT=numT, hap_len=args[0])
 
     names = ("ll", "off_hap", "off_hap_hmq", "ll_off", "ll_on", "map_state")
     # map_state is only defined for positions < read_len (beyond that the
@@ -113,7 +114,8 @@ def main():
                 if full:
                     out = _finish(pk["H_pad"], pk["L_pad"], bm, amid,
                                   bmid_, obs_mid, prr, prh, btf, btb,
-                                  exact_ties=False)
+                                  exact_ties=False, bt_codes=True,
+                                  numT=numT, hap_len=a[0])
                     dep = out[0][0]
                 else:
                     dep = amid[0, 0]
