@@ -68,9 +68,11 @@ def test_cascade_array_equals_loop(tmp_path, unmapped_frac, map_unmapped):
 
     a = _run(bam, fa, win_files[0], params, libraries, "loop")
     b = _run(bam, fa, win_files[0], params, libraries, "array")
+    c = _run(bam, fa, win_files[0], params, libraries, "arena")
     assert len(a) == len(b) and len(a) >= 2
-    for wa, wb in zip(a, b):
+    for wa, wb, wc in zip(a, b, c):
         assert wa == wb
+        assert wa == wc
 
 
 def test_cascade_array_equals_loop_low_maxreads(tmp_path):
@@ -86,4 +88,6 @@ def test_cascade_array_equals_loop_low_maxreads(tmp_path):
         libraries = LibraryCollection()
         a = _run(bam, fa, win_files[0], params, libraries, "loop")
         b = _run(bam, fa, win_files[0], params, libraries, "array")
+        c = _run(bam, fa, win_files[0], params, libraries, "arena")
         assert a == b
+        assert a == c

@@ -11,6 +11,7 @@ RunStats show where the time goes (the device is ~10 ms/slab — the
 pipeline is host-bound; see PERF_NOTES.md).
 """
 import json
+import os
 import sys
 import tempfile
 import time
@@ -66,8 +67,9 @@ def main():
     params.do_diploid = True
     params.file_name = str(Path(d) / "out")
     eng = BatchedWindowEngine(
-        [bam], fa, params, batch_windows=64,
-        max_pairs_per_slab=8192,
+        [bam], fa, params,
+        batch_windows=int(os.environ.get("BENCH_BATCH_WINDOWS", "64")),
+        max_pairs_per_slab=int(os.environ.get("BENCH_MAX_PAIRS", "8192")),
         dp_impl="pallas" if on_tpu else "xla",
         dtype=np.float32)
     # pass 1 (cold): includes one-time kernel compiles for each quantized
