@@ -46,7 +46,9 @@ def get_vcf_string(glf: dict, fa: FastaFile, max_hp_len: int = 10,
     filters: List[str] = []
     pos = int(glf["pos"])
     chrom = glf["chr"]
-    seq = fa.get0(chrom, pos + 1 - 25, 50)
+    # fa.get(chr, pos+1-25, 50) in the reference is 1-based: 0-based pos-25,
+    # so index 25 is the variant base itself (mergeOutputDiploid.py:46-47)
+    seq = fa.get0(chrom, pos - 25, 50)
     hplen = homopolymer_length(seq, 25)
 
     report_pos = pos
@@ -56,7 +58,9 @@ def get_vcf_string(glf: dict, fa: FastaFile, max_hp_len: int = 10,
         if t == "del" and ln > max_del_len:
             max_del_len = ln
     seqlen = 1 + max_del_len
-    refseq = fa.get0(chrom, report_pos, seqlen)
+    # 1-based fa.get(chr, report_pos, seqlen) (:62): the REF string starts at
+    # the VCF anchor base, 0-based report_pos-1
+    refseq = fa.get0(chrom, report_pos - 1, seqlen)
 
     altseqs: List[str] = []
     altseq_to_type: Dict[str, str] = {}
@@ -85,7 +89,7 @@ def get_vcf_string(glf: dict, fa: FastaFile, max_hp_len: int = 10,
     only_snps = all(altseq_to_type[a] == "snp" for a in altseqs)
     if only_snps:
         report_pos += 1
-        refseq = fa.get0(chrom, report_pos, 1)
+        refseq = fa.get0(chrom, report_pos - 1, 1)
         altseqs = [a[1:] for a in altseqs]
 
     if hplen > max_hp_len:

@@ -103,7 +103,8 @@ def merge_output_pooled(glf_files: List[str], vcf_path: str, ref_file: str,
             freq = float(dat["est_freq"])
             rdhist[tot_coverage] = rdhist.get(tot_coverage, 0) + 1
             if prob > 0.20:
-                seq = fa.get0(chrom, pos + 1 - 25, 50)
+                # 1-based fa.get(chr, pos+1-25, 50) (mergeOutputPooled.py:370)
+                seq = fa.get0(chrom, pos - 25, 50)
                 hplen = homopolymer_length(seq, 25)
                 var_stat.setdefault(chrom, {}).setdefault(pos, {})[var] = {
                     "QUAL": prob, "NF": tot_nf, "NR": tot_nr,
@@ -215,14 +216,21 @@ def merge_output_pooled(glf_files: List[str], vcf_path: str, ref_file: str,
                                     ("AF", "NS", "DP", "HP", "NF", "NR", "NFS", "NRS"))
                     typ, seq, ln = _var_fields(var)
                     max_del_len = ln if typ == "del" else 0
-                    refseq = fa.get0(chrom, report_pos, 1 + max_del_len)
+                    # 1-based fa.get(chr, indel_report_pos, seqlen) (:556):
+                    # REF starts at the anchor base, 0-based report_pos-1
+                    refseq = fa.get0(chrom, report_pos - 1, 1 + max_del_len)
                     if typ == "del":
                         altseq = refseq[0] + refseq[1 + ln:]
                     elif typ == "ins":
                         altseq = refseq[0] + seq + refseq[1:]
                     elif typ == "snp":
                         report_pos += 1
-                        refseq = refseq[1] if len(refseq) > 1 else fa.get0(chrom, report_pos, 1)
+                        # the reference does refseq[1] unguarded (:562) and
+                        # would IndexError on a pure-SNP record (seqlen==1);
+                        # the fallback fetches the base refseq[1] would have
+                        # been: 0-based report_pos-1 = the SNP base
+                        refseq = (refseq[1] if len(refseq) > 1
+                                  else fa.get0(chrom, report_pos - 1, 1))
                         altseq = seq[0]
                     else:
                         continue

@@ -65,19 +65,21 @@ def test_diploid_end_to_end(tmp_path, backend):
     recs = read_vcf_records(vcf_path)
     assert recs, open(glf_path).read()
 
-    # -ACG deletion at 0-based 700: VCF 0-based anchor 699 (reported
-    # 0-based in this port's convention mirrors the reference's use of the
-    # realigned position with a 1-base anchor)
+    # Exact reference convention (mergeOutputDiploid.py:62,153): VCF POS is
+    # the 0-based realigned position printed as the 1-based coordinate of
+    # the anchor base, REF fetched starting at that anchor.  The planted
+    # -ACG at 0-based 700 left-aligns into the G-run at 696 (anchor A@695);
+    # the +TT stays at 1400 (anchor A@1399).
     del_calls = [r for r in recs if len(r["ref"]) > len(r["alt"])]
     ins_calls = [r for r in recs if len(r["alt"].split(",")[0]) > len(r["ref"])]
     assert del_calls, recs
     assert ins_calls, recs
     dc = del_calls[0]
-    assert abs(dc["pos"] - 700) <= 5
-    assert dc["gt"] in ("0/1", "1/1")
+    assert (dc["pos"], dc["ref"], dc["alt"], dc["gt"]) == \
+        (696, "AGGG", "A", "0/1"), dc
     ic = ins_calls[0]
-    assert abs(ic["pos"] - 1400) <= 5
-    assert ic["gt"] in ("0/1", "1/1")
+    assert (ic["pos"], ic["ref"], ic["alt"], ic["gt"]) == \
+        (1400, "A", "ATT", "0/1"), ic
 
 
 def test_hom_deletion(tmp_path):
