@@ -185,12 +185,17 @@ class WindowEngine:
         re = right_pos + p.min_read_overlap
         ref_seq = self.get_ref_seq(rs + 1, re + 1)
 
-        hd = HaplotypeDistribution(pos, ref_seq, rs)
-        for r in reads:
-            hd.insert_read(r.bam)
-        hd.set_frequencies()
-
+        # the whole span below mirrors the reference's per-window
+        # catch(string) (DInDel.cpp:1369-1374): any HapGenError — including
+        # ones thrown from insertRead, e.g. "Mag niet." — becomes an
+        # error_* GLF row for this window, not a run abort
         try:
+            from .hapgen_native import make_hapdist
+            hd = make_hapdist(pos, ref_seq, rs)
+            for r in reads:
+                hd.insert_read(r.bam)
+            hd.set_frequencies()
+
             hdi = HDIterator(hd, p.max_hap, pos, left_pos, right_pos,
                              p.no_indel_window)
             if hdi.get_log_num_haps() > math.log(p.skip_max_hap):

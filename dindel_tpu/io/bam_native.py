@@ -301,6 +301,9 @@ class BamArena:
                 mtid=mtid, mpos=mpos, isize=isize,
                 seq=self.seq_b[s0:s1].decode(),
                 qual=self.qual_b[s0:s1], tags=tags)
+            # raw packed (len<<4|op) view for native consumers (hapdist)
+            rec.cigar_raw = np.ascontiguousarray(
+                self.cigar[self.cigar_off[i]:self.cigar_off[i + 1]])
             self._records[i] = rec
         return rec
 
