@@ -16,6 +16,14 @@ from ..model import Library, LibraryCollection, Read, mean_first_base_position
 from ..io.bam import (BamReader, BamRecord, FDUP, FQCFAIL, FSUPPLEMENTARY)
 from ..utils import phred_prob
 
+import numpy as _np_mod
+
+# phred byte -> clamped probability; same numpy ops per element as the
+# direct formula (Read.hpp:128-147), precomputed once
+_PHRED_TABLE = _np_mod.clip(
+    1.0 - 10.0 ** (-_np_mod.arange(256, dtype=_np_mod.float64) / 10.0),
+    1e-16, 1.0 - 1e-16)
+
 
 class WindowError(Exception):
     """Per-window failure; message becomes the error_* GLF row."""
@@ -34,9 +42,9 @@ def read_from_bam(rec: BamRecord, libraries: LibraryCollection,
     if map_qual > 1 - 1e-16:
         map_qual = 1 - 1e-16
     import numpy as np
-    # vectorized phred_prob (Read.hpp:128-147 clamps)
-    q = np.frombuffer(rec.qual, np.uint8).astype(np.float64)
-    qual = np.clip(1.0 - 10.0 ** (-q / 10.0), 1e-16, 1.0 - 1e-16)
+    # vectorized phred_prob (Read.hpp:128-147 clamps) via the 256-entry
+    # byte table (same float ops per entry as the direct formula)
+    qual = _PHRED_TABLE[np.frombuffer(rec.qual, np.uint8)]
     pos_stat = mean_first_base_position(rec.cigar, rec.pos)
     # library lookup (Read.hpp:166-179, getLibraryName :185-197)
     if rec.is_paired:

@@ -1177,8 +1177,6 @@ class LiksView:
     def __init__(self, haps: List[Haplotype], reads: List[Read],
                  pk: dict, ll, off_hap, off_hap_hmq, ll_off, ll_on,
                  map_state, p: ObservationModelParameters):
-        from ..model import HPOS_LO, HPOS_RO
-
         self.haps = haps
         self.reads = reads
         self.p = p
@@ -1186,14 +1184,94 @@ class LiksView:
         self.nh = nh
         self.nr = nr
         H_pad = pk["H_pad"]
-        B = nh * nr
         L_pad = pk["L_pad"]
-        S_half_f = H_pad + 2
-        hap_len = pk["hap_len"]
-        read_len = pk["read_len"]
         self.H_pad = H_pad
         self.L_pad = L_pad
-        self.read_len = read_len
+        self.read_len = pk["read_len"]
+        self._hap_len = pk["hap_len"]
+        self._ms = np.asarray(map_state)
+        self._pk_read_codes = pk["read_codes"]
+        self._pk_hap_codes = pk["hap_codes"]
+
+        self.ll = np.asarray(ll, np.float64)
+        self.off_hap = np.asarray(off_hap, bool)
+        self.off_hap_hmq = np.asarray(off_hap_hmq, bool)
+        self.ll_off = np.asarray(ll_off, np.float64)
+        self.ll_on = np.asarray(ll_on, np.float64)
+        # lazily-derived (B, L_pad) matrices; the native decode fills
+        # xs/hpos directly and only per-pair consumers (events, SNP
+        # reports) ever force the rest
+        self._ins_all = None
+        self._del_ev = None
+        self._mism = None
+        self._noins_on = None
+
+        qual_b = np.zeros((nr, L_pad))
+        for ri, r in enumerate(reads):
+            qual_b[ri, :r.size()] = r.qual
+        with np.errstate(divide="ignore"):
+            log10q = np.log10(np.maximum(1.0 - qual_b, 1e-300))
+        self._qual_r = qual_b  # (nr, L_pad); pair i uses row i % nr
+
+        from .decode_native import native_lib as _dec_lib
+        if _dec_lib() is not None:
+            self._init_native(_dec_lib(), qual_b, log10q)
+        else:
+            self._init_numpy(qual_b, log10q)
+        # indel events are enumerated lazily per pair (has_event flags
+        # which pairs carry any; a pair has num_indels == 0 iff not
+        # has_event, which is what the filter/selection logic needs)
+        self._events = {}
+        self._nind_rows = {}
+        self._cache = {}
+
+    def _init_native(self, lib, qual_b: np.ndarray, log10q: np.ndarray):
+        """One C pass (native/decode.cpp) producing the same arrays as
+        _init_numpy; equality asserted in tests/test_liks_view.py."""
+        B = self.nh * self.nr
+        L_pad, H_pad = self.L_pad, self.H_pad
+        ms = np.ascontiguousarray(self._ms, np.int16)
+        read_len = np.ascontiguousarray(self.read_len, np.int32)
+        hap_len = np.ascontiguousarray(self._hap_len, np.int32)
+        rc = np.ascontiguousarray(self._pk_read_codes, np.uint8)
+        hc = np.ascontiguousarray(self._pk_hap_codes, np.uint8)
+        xs = np.empty((B, L_pad), np.int32)
+        hpos = np.empty((B, L_pad), np.int32)
+        i64 = lambda: np.empty(B, np.int64)
+        n_bqt, n_mm_bqt, n_mm_left, n_mm_right, num_mm, fb, lb = (
+            i64(), i64(), i64(), i64(), i64(), i64(), i64())
+        m_log_bq = np.empty(B, np.float64)
+        has_event = np.empty(B, np.uint8)
+        any_mism = np.empty(B, np.uint8)
+        lib.ddec_stats(B, L_pad, H_pad, self.nr, ms, read_len, hap_len,
+                       rc, hc, np.ascontiguousarray(qual_b),
+                       np.ascontiguousarray(log10q),
+                       float(self.p.check_base_qual_threshold),
+                       xs, hpos, n_bqt, n_mm_bqt, n_mm_left, n_mm_right,
+                       num_mm, m_log_bq, fb, lb, has_event, any_mism)
+        self.xs = xs
+        self.hpos_all = hpos
+        self.fb = fb
+        self.lb = lb
+        self.n_bqt = n_bqt
+        self.n_mm_bqt = n_mm_bqt
+        self.n_mm_left = n_mm_left
+        self.n_mm_right = n_mm_right
+        self.num_mm = num_mm
+        self.m_log_bq = m_log_bq
+        self.has_event = has_event.astype(bool)
+        self.any_mism = any_mism.astype(bool)
+
+    def _init_numpy(self, qual_b: np.ndarray, log10q: np.ndarray):
+        from ..model import HPOS_LO, HPOS_RO
+
+        nh, nr = self.nh, self.nr
+        H_pad, L_pad = self.H_pad, self.L_pad
+        B = nh * nr
+        S_half_f = H_pad + 2
+        hap_len = self._hap_len
+        read_len = self.read_len
+        map_state = self._ms
         ins_all = map_state >= S_half_f
         x_all = map_state % S_half_f
         ROh_all = (hap_len + 1)[:, None]
@@ -1215,40 +1293,30 @@ class LiksView:
         fb_all = np.where(fb_all == big, -1, fb_all)
         lb_all = np.where(noins_on, xs - 1, -1).max(axis=1)
 
-        qual_b = np.zeros((nr, L_pad))
-        for ri, r in enumerate(reads):
-            qual_b[ri, :r.size()] = r.qual
-        qual_b = np.tile(qual_b, (nh, 1))
-        bqt = noins_on & (qual_b > p.check_base_qual_threshold)
-        hc = np.take_along_axis(pk["hap_codes"],
+        qual_t = np.tile(qual_b, (nh, 1))
+        bqt = noins_on & (qual_t > self.p.check_base_qual_threshold)
+        hc = np.take_along_axis(self._pk_hap_codes,
                                 np.clip(xs - 1, 0, H_pad - 1), axis=1)
-        mism = noins_on & (pk["read_codes"] != hc)
+        mism = noins_on & (self._pk_read_codes != hc)
         n_bqt_all = bqt.sum(axis=1)
         n_mm_bqt_all = (mism & bqt).sum(axis=1)
         n_mm_left_all = (mism & (col < 6)).sum(axis=1)
         n_mm_right_all = (mism & (col > read_len[:, None] - 6)).sum(axis=1)
-        num_mm_all = (mism & (qual_b > 0.95)).sum(axis=1)
+        num_mm_all = (mism & (qual_t > 0.95)).sum(axis=1)
         # sequential (loop-order) float accumulation for bit-parity with
         # the per-base loop: column-at-a-time adds, masked terms as +0.0
-        with np.errstate(divide="ignore"):
-            log10q = np.where(bqt,
-                              np.log10(np.maximum(1.0 - qual_b, 1e-300)),
-                              0.0)
+        log10q_t = np.where(bqt, np.tile(log10q, (nh, 1)), 0.0)
         mlogbq_all = np.zeros(B)
         for b in range(L_pad):
-            mlogbq_all = mlogbq_all + log10q[:, b]
+            mlogbq_all = mlogbq_all + log10q_t[:, b]
 
-        self.ll = np.asarray(ll, np.float64)
-        self.off_hap = np.asarray(off_hap, bool)
-        self.off_hap_hmq = np.asarray(off_hap_hmq, bool)
-        self.ll_off = np.asarray(ll_off, np.float64)
-        self.ll_on = np.asarray(ll_on, np.float64)
         self.xs = xs
-        self.ins_all = ins_all
-        self.del_ev = del_ev
+        self._ins_all = ins_all
+        self._del_ev = del_ev
+        self._noins_on = noins_on
         self.has_event = has_event
         self.any_mism = mism.any(axis=1)
-        self.mism = mism
+        self._mism = mism
         self.hpos_all = hpos_all
         self.fb = fb_all
         self.lb = lb_all
@@ -1258,12 +1326,43 @@ class LiksView:
         self.n_mm_right = n_mm_right_all
         self.num_mm = num_mm_all
         self.m_log_bq = mlogbq_all
-        # indel events are enumerated lazily per pair (has_event flags
-        # which pairs carry any; a pair has num_indels == 0 iff not
-        # has_event, which is what the filter/selection logic needs)
-        self._events = {}
-        self._nind_rows = {}
-        self._cache = {}
+
+    # --- lazily-derived (B, L_pad) matrices (native init skips them) ---
+
+    @property
+    def ins_all(self):
+        if self._ins_all is None:
+            self._ins_all = self._ms >= (self.H_pad + 2)
+        return self._ins_all
+
+    @property
+    def noins_on(self):
+        if self._noins_on is None:
+            col = np.arange(self.L_pad)[None, :]
+            validc = col < self.read_len[:, None]
+            xs = self.xs
+            on = (xs >= 1) & (xs <= self._hap_len[:, None]) & validc
+            self._noins_on = on & ~self.ins_all
+        return self._noins_on
+
+    @property
+    def del_ev(self):
+        if self._del_ev is None:
+            col = np.arange(self.L_pad)[None, :]
+            xs = self.xs
+            self._del_ev = (self.noins_on[:, :-1] & ~self.ins_all[:, 1:]
+                            & (col[:, 1:] < self.read_len[:, None])
+                            & (xs[:, 1:] - xs[:, :-1] > 1))
+        return self._del_ev
+
+    @property
+    def mism(self):
+        if self._mism is None:
+            hc = np.take_along_axis(
+                self._pk_hap_codes,
+                np.clip(self.xs - 1, 0, self.H_pad - 1), axis=1)
+            self._mism = self.noins_on & (self._pk_read_codes != hc)
+        return self._mism
 
     # --- 2-D (nh, nr) views of the flat hap-major arrays ---
     @property

@@ -127,3 +127,45 @@ def test_filterhaps_view_with_filtering(windows):
         fb, vb = filter_haplotypes(w["haps"], w["reads"], lists, params, True)
         assert fa == fb
         assert va == vb
+
+
+def _rebuild_view(view, monkeypatch, force_py):
+    """Re-run LiksView's decode on the same inputs, optionally forcing
+    the numpy implementation (DINDEL_DECODE=py)."""
+    pk = dict(H_pad=view.H_pad, L_pad=view.L_pad, read_len=view.read_len,
+              hap_len=view._hap_len, read_codes=view._pk_read_codes,
+              hap_codes=view._pk_hap_codes)
+    if force_py:
+        monkeypatch.setenv("DINDEL_DECODE", "py")
+    else:
+        monkeypatch.delenv("DINDEL_DECODE", raising=False)
+    return LiksView(view.haps, view.reads, pk, view.ll, view.off_hap,
+                    view.off_hap_hmq, view.ll_off, view.ll_on, view._ms,
+                    view.p)
+
+
+def test_native_decode_matches_numpy(windows, monkeypatch):
+    """native/decode.cpp must reproduce the numpy decode exactly,
+    including bit-identical m_log_bq accumulation."""
+    from dindel_tpu.hmm.decode_native import native_lib
+    if native_lib() is None:
+        pytest.skip("native decode unavailable")
+    _params, ws = windows
+    for w in ws:
+        a = _rebuild_view(w["view"], monkeypatch, force_py=False)
+        b = _rebuild_view(w["view"], monkeypatch, force_py=True)
+        assert (a.xs == b.xs).all()
+        assert (a.hpos_all == b.hpos_all).all()
+        assert (a.fb == b.fb).all() and (a.lb == b.lb).all()
+        assert (a.n_bqt == b.n_bqt).all()
+        assert (a.n_mm_bqt == b.n_mm_bqt).all()
+        assert (a.n_mm_left == b.n_mm_left).all()
+        assert (a.n_mm_right == b.n_mm_right).all()
+        assert (a.num_mm == b.num_mm).all()
+        assert (a.has_event == b.has_event).all()
+        assert (a.any_mism == b.any_mism).all()
+        # bit-identical float accumulation (same add order)
+        assert (a.m_log_bq == b.m_log_bq).all()
+        # lazily-derived matrices agree too
+        assert (a.mism == b.mism).all()
+        assert (a.del_ev == b.del_ev).all()
