@@ -1364,6 +1364,40 @@ class LiksView:
             self._mism = self.noins_on & (self._pk_read_codes != hc)
         return self._mism
 
+    # --- per-row derivations (O(L) per call; per-pair consumers use
+    # these so a handful of event pairs never force the full (B, L_pad)
+    # matrices the native init skipped) ---
+
+    def _ins_row(self, i: int):
+        if self._ins_all is not None:
+            return self._ins_all[i]
+        return self._ms[i] >= (self.H_pad + 2)
+
+    def _noins_on_row(self, i: int):
+        if self._noins_on is not None:
+            return self._noins_on[i]
+        xs = self.xs[i]
+        col = np.arange(self.L_pad)
+        on = ((xs >= 1) & (xs <= self._hap_len[i])
+              & (col < self.read_len[i]))
+        return on & ~self._ins_row(i)
+
+    def _del_row(self, i: int):
+        if self._del_ev is not None:
+            return self._del_ev[i]
+        xs = self.xs[i]
+        noins_on = self._noins_on_row(i)
+        col = np.arange(1, self.L_pad)
+        return (noins_on[:-1] & ~self._ins_row(i)[1:]
+                & (col < self.read_len[i]) & (xs[1:] - xs[:-1] > 1))
+
+    def _mism_row(self, i: int):
+        if self._mism is not None:
+            return self._mism[i]
+        hc = self._pk_hap_codes[i][
+            np.clip(self.xs[i] - 1, 0, self.H_pad - 1)]
+        return self._noins_on_row(i) & (self._pk_read_codes[i] != hc)
+
     # --- 2-D (nh, nr) views of the flat hap-major arrays ---
     @property
     def ll2d(self):
@@ -1423,9 +1457,9 @@ class LiksView:
         Hh = self.haps[hi].size()
         xs = self.xs
         events = []
-        for b in np.nonzero(self.del_ev[i, :max(L - 1, 0)])[0]:
+        for b in np.nonzero(self._del_row(i)[:max(L - 1, 0)])[0]:
             events.append((int(b), "D", int(xs[i, b])))
-        ins_row = self.ins_all[i, :L]
+        ins_row = self._ins_row(i)[:L]
         if ins_row.any():
             # maximal ins runs; the loop enters a run at its first base
             # with 0 < x <= H and consumes to the run end (earlier bases
@@ -1480,7 +1514,7 @@ class LiksView:
         align = None
         if self.any_mism[i]:
             align = list(align_ref)
-            for b in np.nonzero(self.mism[i, :L])[0]:
+            for b in np.nonzero(self._mism_row(i)[:L])[0]:
                 spos = int(xs[i, b]) - 1
                 ml.snps[spos] = AlignedVariant(
                     hap.seq[spos] + "=>" + r.seq[b],
