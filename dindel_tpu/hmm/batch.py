@@ -1237,6 +1237,7 @@ class LiksView:
         hc = np.ascontiguousarray(self._pk_hap_codes, np.uint8)
         xs = np.empty((B, L_pad), np.int32)
         hpos = np.empty((B, L_pad), np.int32)
+        del_ev = np.empty((B, L_pad - 1), np.uint8)
         i64 = lambda: np.empty(B, np.int64)
         n_bqt, n_mm_bqt, n_mm_left, n_mm_right, num_mm, fb, lb = (
             i64(), i64(), i64(), i64(), i64(), i64(), i64())
@@ -1247,8 +1248,10 @@ class LiksView:
                        rc, hc, np.ascontiguousarray(qual_b),
                        np.ascontiguousarray(log10q),
                        float(self.p.check_base_qual_threshold),
-                       xs, hpos, n_bqt, n_mm_bqt, n_mm_left, n_mm_right,
-                       num_mm, m_log_bq, fb, lb, has_event, any_mism)
+                       xs, hpos, del_ev, n_bqt, n_mm_bqt, n_mm_left,
+                       n_mm_right, num_mm, m_log_bq, fb, lb, has_event,
+                       any_mism)
+        self._del_ev = del_ev.view(bool)
         self.xs = xs
         self.hpos_all = hpos
         self.fb = fb

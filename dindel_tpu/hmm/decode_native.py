@@ -51,7 +51,7 @@ def native_lib():
             lib.ddec_stats.argtypes = [
                 c.c_int64, c.c_int64, c.c_int64, c.c_int64,
                 _I16P, _I32P, _I32P, _U8P, _U8P, _F64P, _F64P, c.c_double,
-                _I32P, _I32P, _I64P, _I64P, _I64P, _I64P, _I64P, _F64P,
-                _I64P, _I64P, _U8P, _U8P]
+                _I32P, _I32P, _U8P, _I64P, _I64P, _I64P, _I64P, _I64P,
+                _F64P, _I64P, _I64P, _U8P, _U8P]
             _lib = lib
     return _lib

@@ -43,30 +43,61 @@ def viterbi_hp_error(hp_len: int) -> float:
     return min(pbe, 0.99)
 
 
+_LVE_TAB = np.empty(0)
+_LVN_TAB = np.empty(0)
+
+
+def _log_verr_tables(n: int) -> Tuple[np.ndarray, np.ndarray]:
+    """math.log(viterbi_hp_error(ln)) / log(1-...) for ln in 0..n, grown
+    lazily with the exact scalar calls the loop implementation made (so
+    every float is bit-identical); index 0 is never consumed."""
+    global _LVE_TAB, _LVN_TAB
+    if _LVE_TAB.shape[0] <= n:
+        old = _LVE_TAB.shape[0]
+        e = np.empty(n + 1)
+        v = np.empty(n + 1)
+        e[:old] = _LVE_TAB
+        v[:old] = _LVN_TAB
+        for ln in range(max(old, 1), n + 1):
+            perr = viterbi_hp_error(ln)
+            e[ln] = math.log(perr)
+            v[ln] = math.log(1.0 - perr)
+        if old == 0:
+            e[0] = np.nan
+            v[0] = np.nan
+        _LVE_TAB, _LVN_TAB = e, v
+    return _LVE_TAB, _LVN_TAB
+
+
 def hp_log_prob_error(hap_seq: str) -> Tuple[np.ndarray, np.ndarray]:
     """logProbError/logProbNoError tables per state index 0..H+1, the exact
     (quirky, sparse) fill pattern of FBMaxErr::setupTransitionProbs
-    (ObservationModelFB.cpp:1675-1703)."""
+    (ObservationModelFB.cpp:1675-1703).  Vectorized run-length scan; all
+    float values come from the same math.log(viterbi_hp_error(ln)) calls
+    as the original per-base loop (via _log_verr_tables), so the result
+    is bit-identical to it."""
     H = len(hap_seq)
     lpe = np.full(H + 2, math.log(1e-5))
     lpn = np.full(H + 2, math.log(1.0 - 1e-5))
     if H == 0:
         return lpe, lpn
-    perr = viterbi_hp_error(1)
-    lpe[1] = math.log(perr)
-    lpn[1] = math.log(1.0 - perr)
-    ln = 1
-    for b in range(1, H):
-        if hap_seq[b] == hap_seq[b - 1]:
-            ln += 1
-        else:
-            perr = viterbi_hp_error(ln)
-            lpe[b] = math.log(perr)
-            lpn[b] = math.log(1.0 - perr)
-            ln = 1
-    perr = viterbi_hp_error(ln)
-    lpe[H - 1] = math.log(perr)
-    lpn[H - 1] = math.log(1.0 - perr)
+    lve, lvn = _log_verr_tables(H)
+    # lpe[1] is seeded with the ln=1 value before the scan (the scan may
+    # overwrite index 1 with the same value when a boundary sits there)
+    lpe[1] = lve[1]
+    lpn[1] = lvn[1]
+    s = np.frombuffer(hap_seq.encode(), np.uint8)
+    change = np.nonzero(s[1:] != s[:-1])[0] + 1  # boundary positions b
+    if change.shape[0]:
+        prev = np.concatenate([[0], change[:-1]])
+        ln = change - prev            # run length ending at b-1
+        lpe[change] = lve[ln]
+        lpn[change] = lvn[ln]
+        ln_final = H - change[-1]
+    else:
+        ln_final = H
+    lpe[H - 1] = lve[ln_final]
+    lpn[H - 1] = lvn[ln_final]
     return lpe, lpn
 
 

@@ -19,7 +19,7 @@ void ddec_stats(int64_t B, int64_t L_pad, int64_t H_pad, int64_t nr,
                 const int32_t* hap_len, const uint8_t* read_codes,
                 const uint8_t* hap_codes, const double* qual,
                 const double* log10q, double bq_thr,
-                int32_t* xs_out, int32_t* hpos_out,
+                int32_t* xs_out, int32_t* hpos_out, uint8_t* del_out,
                 int64_t* n_bqt, int64_t* n_mm_bqt, int64_t* n_mm_left,
                 int64_t* n_mm_right, int64_t* num_mm, double* m_log_bq,
                 int64_t* fb, int64_t* lb, uint8_t* has_event,
@@ -34,6 +34,7 @@ void ddec_stats(int64_t B, int64_t L_pad, int64_t H_pad, int64_t nr,
     const double* lq_row = log10q + (i % nr) * L_pad;
     int32_t* xs_row = xs_out + i * L_pad;
     int32_t* hp_row = hpos_out + i * L_pad;
+    uint8_t* del_row = del_out + i * (L_pad - 1);
     const int64_t rl = read_len[i];
     const int64_t hl = hap_len[i];
     int64_t nbqt = 0, nmmbqt = 0, nmml = 0, nmmr = 0, nmm = 0;
@@ -76,8 +77,12 @@ void ddec_stats(int64_t B, int64_t L_pad, int64_t H_pad, int64_t nr,
       if (ins && on) hev = 1;
       // del event between b-1 and b: noins_on[b-1] & !ins[b] & b < rl
       // & xs[b] - xs[b-1] > 1
-      if (b > 0 && prev_noins_on && !ins && valid && xs - prev_xs > 1)
-        hev = 1;
+      if (b > 0) {
+        const bool dl =
+            prev_noins_on && !ins && valid && xs - prev_xs > 1;
+        del_row[b - 1] = dl;
+        if (dl) hev = 1;
+      }
       prev_noins_on = noins_on;
       prev_xs = xs;
     }
