@@ -66,6 +66,9 @@ class BatchedWindowEngine(WindowEngine):
             from ..parallel.mesh import make_mesh
             mesh = make_mesh(*mesh)
         self.mesh = mesh
+        # global FIFO of dispatched-not-yet-fetched slabs, shared across
+        # batches: each item is (out_dict, (slab, pks, compact, res))
+        self._inflight: List[tuple] = []
 
     # ------------------------------------------------------------------
     def detect_indels(self, var_file: str, glf_path: Optional[str] = None):
@@ -82,6 +85,7 @@ class BatchedWindowEngine(WindowEngine):
         all_rows: List[dict] = []
 
         staged: List[dict] = []
+        pending = None  # previous batch: dispatched, not yet called/written
         index = 0
         for candidates in read_window_file(var_file, p.var_file_is_one_based):
             index += 1
@@ -124,22 +128,62 @@ class BatchedWindowEngine(WindowEngine):
             self.buf.old_left_pos = entry["left_pos"] if entry["error"] is None else left_pos
             staged.append(entry)
             if len(staged) >= self.batch_windows:
-                all_rows.extend(self._flush(staged, glf_data))
+                # Dispatch this batch's slabs to the device FIRST, then
+                # finish (fetch + call + write) the previous batch, then
+                # keep staging: the device crunches batch N while the
+                # host stages batch N+1 (cross-batch overlap on top of
+                # the intra-batch slab pipeline).  FIFO finishing keeps
+                # GLF rows in window order.
+                new_pending = self._flush_begin(staged)
+                if pending is not None:
+                    all_rows.extend(self._flush_end(pending, glf_data))
+                pending = new_pending
                 staged = []
         if staged:
-            all_rows.extend(self._flush(staged, glf_data))
+            new_pending = self._flush_begin(staged)
+            if pending is not None:
+                all_rows.extend(self._flush_end(pending, glf_data))
+            pending = new_pending
+        if pending is not None:
+            all_rows.extend(self._flush_end(pending, glf_data))
         out.close()
         return all_rows
 
     # ------------------------------------------------------------------
     def _flush(self, staged: List[dict], glf_data: OutputData) -> List[dict]:
-        p = self.params
-        rows: List[dict] = []
-        # device phase: concatenate pairs of all good windows
+        return self._flush_end(self._flush_begin(staged), glf_data)
+
+    def _flush_begin(self, staged: List[dict]) -> dict:
+        """Partition the batch's good windows into slabs and dispatch
+        them (async).  Older in-flight slabs — possibly the previous
+        batch's — are finished as needed to hold the global in-flight
+        depth, so device backpointer memory stays bounded while batches
+        overlap."""
         good = [e for e in staged
                 if e["error"] is None and not e.get("skip") and e.get("haps")]
+        out: dict = {}
+        slab: List[dict] = []
+        slab_pairs = 0
         with self.stats.stage("device_hmm"):
-            liks_by_idx = self._compute_liks_batched(good)
+            for e in good:
+                n = len(e["haps"]) * len(e["reads"])
+                if slab and slab_pairs + n > self.max_pairs_per_slab:
+                    self._push_slab(out, slab)
+                    slab = []
+                    slab_pairs = 0
+                slab.append(e)
+                slab_pairs += n
+            if slab:
+                self._push_slab(out, slab)
+        return dict(staged=staged, out=out)
+
+    def _flush_end(self, pending: dict, glf_data: OutputData) -> List[dict]:
+        staged = pending["staged"]
+        liks_by_idx = pending["out"]
+        with self.stats.stage("device_hmm"):
+            self._drain_for(liks_by_idx)
+        p = self.params
+        rows: List[dict] = []
         for e in staged:
             if e["error"] is not None:
                 line = glf_data.line()
@@ -173,26 +217,22 @@ class BatchedWindowEngine(WindowEngine):
         return rows
 
     # ------------------------------------------------------------------
-    # in-flight slab pipeline depth: with depth 2, slab k+1 is packed and
-    # dispatched while the device still crunches slab k (JAX dispatch is
-    # async; only the fetch blocks).  Each in-flight slab holds its
-    # backpointer tensors on device (~3.2 GB at the default slab size),
-    # so the depth is deliberately small.
-    PIPELINE_DEPTH = 2
+    # in-flight slab pipeline depth: dispatched-not-yet-fetched slabs,
+    # shared across batches (JAX dispatch is async; only the fetch
+    # blocks).  Pending slabs hold only their compact upload tables and
+    # small results — the big backpointer tensors live only inside each
+    # slab's dp->_finish dispatch chain — so the depth can cover a whole
+    # batch and let the device crunch batch N while the host stages
+    # batch N+1.
+    PIPELINE_DEPTH = 4
 
-    def _compute_liks_batched(self, good: List[dict]):
-        """Slab pipeline: host packing/decoding overlapped with device
-        dispatches (double-buffered; SURVEY.md §2.4 'host-side
-        pipeline')."""
-        p = self.params
-        out = {}
-
-        def stage_slab(slab):
+    def _stage_slab(self, slab):
             """Host pack + async device dispatch; returns in-flight
             state.  Uses the compact per-read/per-hap table format
             (~20x smaller device upload; see pack_pairs_compact) unless a
             window needs the insert-size positional prior, in which case
             the whole slab ships dense."""
+            p = self.params
             H_max = max(max(h.size() for h in e["haps"]) for e in slab)
             L_max = max(max(r.size() for r in e["reads"]) for e in slab)
             if self.dp_impl == "pallas":
@@ -235,14 +275,16 @@ class BatchedWindowEngine(WindowEngine):
                     res = run_packed(merged, self.dp_impl)  # async
             return slab, pks, compact, res
 
-        def finish_slab(staged):
-            """Blocking fetch + vectorized decode."""
+    def _finish_slab(self, out, staged, fetched=None):
+            """Blocking fetch (unless prefetched) + vectorized decode."""
+            p = self.params
             slab, pks, compact, res = staged
-            with self.stats.stage("slab_fetch"):
-                # one pytree fetch (pipelined transfers) instead of six
-                # sequential ~25 ms tunnel round trips
-                (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state) = (
-                    jax.device_get(res))
+            if fetched is None:
+                with self.stats.stage("slab_fetch"):
+                    # one pytree fetch (pipelined transfers) instead of
+                    # six sequential ~25 ms tunnel round trips
+                    fetched = jax.device_get(res)
+            (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state) = fetched
             off = 0
             with self.stats.stage("slab_decode"):
               for e, pk in zip(slab, pks):
@@ -261,53 +303,61 @@ class BatchedWindowEngine(WindowEngine):
                     p.obs_params)
                 off += B
 
-        slabs: List[List[dict]] = []
-        slab: List[dict] = []
-        slab_pairs = 0
-        for e in good:
-            n = len(e["haps"]) * len(e["reads"])
-            if slab and slab_pairs + n > self.max_pairs_per_slab:
-                slabs.append(slab)
-                slab = []
-                slab_pairs = 0
-            slab.append(e)
-            slab_pairs += n
-        if slab:
-            slabs.append(slab)
-
-        def rescue_slab(slab):
-            """Slab-level fault isolation: if the packed device phase for
-            a slab throws, re-score each window individually through the
-            per-window backend (batched XLA kernel by default) so one
-            pathological window cannot take down its slab-mates.
-            Per-window failures surface as error_* rows via the entry."""
-            for e in slab:
-                try:
-                    liks, _on_hap = self.compute_likelihoods(
-                        e["haps"], e["reads"], e["left_pos"])
-                    out[e["index"]] = liks
-                except WindowError as err:
-                    e["error"] = "error_" + str(err).replace(" ", "_")
-                    self.stats.record_error(e["error"])
-
-        in_flight: List[tuple] = []
-        for s in slabs:
-            if len(in_flight) >= self.PIPELINE_DEPTH:
-                st = in_flight.pop(0)
-                try:
-                    finish_slab(st)
-                except Exception:
-                    rescue_slab(st[0])
+    def _rescue_slab(self, out, slab):
+        """Slab-level fault isolation: if the packed device phase for
+        a slab throws, re-score each window individually through the
+        per-window backend (batched XLA kernel by default) so one
+        pathological window cannot take down its slab-mates.
+        Per-window failures surface as error_* rows via the entry."""
+        for e in slab:
             try:
-                in_flight.append(stage_slab(s))
-            except Exception:
-                rescue_slab(s)
-        for st in in_flight:
+                liks, _on_hap = self.compute_likelihoods(
+                    e["haps"], e["reads"], e["left_pos"])
+                out[e["index"]] = liks
+            except WindowError as err:
+                e["error"] = "error_" + str(err).replace(" ", "_")
+                self.stats.record_error(e["error"])
+
+    def _push_slab(self, out, slab):
+        """Dispatch one slab, first finishing the oldest in-flight slabs
+        (FIFO, possibly an earlier batch's) to respect PIPELINE_DEPTH."""
+        while len(self._inflight) >= self.PIPELINE_DEPTH:
+            self._pop_slab()
+        try:
+            st = self._stage_slab(slab)
+            self._inflight.append((out, st))
+        except Exception:
+            self._rescue_slab(out, slab)
+
+    def _pop_slab(self):
+        out, st = self._inflight.pop(0)
+        try:
+            self._finish_slab(out, st)
+        except Exception:
+            self._rescue_slab(out, st[0])
+
+    def _drain_for(self, out):
+        """Finish every in-flight slab belonging to `out` (the oldest
+        entries).  All their results come back in ONE device_get — one
+        tunnel round trip per batch instead of one per slab — then each
+        slab decodes from its prefetched arrays."""
+        mine = [item for item in self._inflight if item[0] is out]
+        if not mine:
+            return
+        self._inflight = [it for it in self._inflight if it[0] is not out]
+        try:
+            with self.stats.stage("slab_fetch"):
+                fetched = jax.device_get([st[3] for _, st in mine])
+        except Exception:
+            # combined fetch failed (a slab's device phase threw):
+            # retry slab-by-slab so healthy slabs still land and only
+            # the faulty one takes the per-window rescue path.
+            fetched = [None] * len(mine)
+        for (o, st), f in zip(mine, fetched):
             try:
-                finish_slab(st)
+                self._finish_slab(o, st, fetched=f)
             except Exception:
-                rescue_slab(st[0])
-        return out
+                self._rescue_slab(o, st[0])
 
     # ------------------------------------------------------------------
     def _call_window(self, e, liks, glf_data) -> List[dict]:

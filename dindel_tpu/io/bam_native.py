@@ -288,10 +288,13 @@ class BamArena:
     def record(self, i: int) -> BamRecord:
         rec = self._records.get(i)
         if rec is None:
+            # .tolist() yields Python ints in one C call (the per-element
+            # int() genexpr was ~5us/record)
             tid, pos, mapq, flag, mtid, mpos, isize, _l = (
-                int(v) for v in self.fixed[i])
-            cig = [(CIGAR_OPS[int(v) & 0xF], int(v) >> 4)
-                   for v in self.cigar[self.cigar_off[i]:self.cigar_off[i + 1]]]
+                self.fixed[i].tolist())
+            cig = [(CIGAR_OPS[v & 0xF], v >> 4) for v in
+                   self.cigar[self.cigar_off[i]:self.cigar_off[i + 1]]
+                   .tolist()]
             s0, s1 = self.seq_off[i], self.seq_off[i + 1]
             a0, a1 = self.aux_off[i], self.aux_off[i + 1]
             tags = _parse_tags(self.aux_b[a0:a1], 0) if a1 > a0 else []
