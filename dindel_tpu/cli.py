@@ -118,9 +118,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="indels engine: 'batched' pipelines many windows "
                          "per device dispatch (TPU production path); "
                          "'streaming' is the per-window reference path")
-    ap.add_argument("--batchWindows", type=int, default=64,
+    ap.add_argument("--batchWindows", type=int, default=128,
                     help="windows staged per flush (batched engine)")
-    ap.add_argument("--maxPairsPerSlab", type=int, default=8192,
+    ap.add_argument("--maxPairsPerSlab", type=int, default=24576,
                     help="max (hap,read) pairs per device slab "
                          "(bounds backpointer HBM; batched engine)")
     ap.add_argument("--mesh", default=None, metavar="DPxRP",

@@ -23,6 +23,7 @@ import math
 from typing import List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Parameters
@@ -40,14 +41,46 @@ from .reads import ReadBuffer, WindowError, get_reads
 from .window import WindowEngine
 
 
+# Shrink the fetch payload: the (B, L_pad) map_state tensor — ~90% of a
+# slab's result bytes through the tunnel — becomes a uint8 hap-position
+# plane plus a bit-packed ins-flag plane (0.53x the bytes).  Valid
+# whenever S_half = H_pad + 2 <= 255 (gated at the call site); _merge_ms
+# reconstructs the exact int16 states on host.
+def _split_ms_make(S_half: int):
+    @jax.jit
+    def f(ms):
+        xs8 = (ms % S_half).astype(jnp.uint8)
+        ins = jnp.packbits((ms >= S_half).astype(jnp.uint8), axis=1)
+        return xs8, ins
+    return f
+
+
+_SPLIT_MS_CACHE = {}
+
+
+def _split_ms_for(S_half: int):
+    f = _SPLIT_MS_CACHE.get(S_half)
+    if f is None:
+        f = _split_ms_make(S_half)
+        _SPLIT_MS_CACHE[S_half] = f
+    return f
+
+
+def _merge_ms(xs8, ins_packed, S_half: int, L_pad: int):
+    ms = xs8.astype(np.int16)
+    ins = np.unpackbits(ins_packed, axis=1, count=L_pad).astype(bool)
+    ms[ins] += S_half
+    return ms
+
+
 class BatchedWindowEngine(WindowEngine):
     """WindowEngine variant that batches the device phase across windows.
 
     batch_windows controls how many windows are staged per device
     dispatch; max_pairs_per_slab bounds backpointer HBM memory."""
 
-    def __init__(self, *args, batch_windows: int = 16,
-                 max_pairs_per_slab: int = 8192, dp_impl: str = "xla",
+    def __init__(self, *args, batch_windows: int = 128,
+                 max_pairs_per_slab: int = 24576, dp_impl: str = "xla",
                  dtype=np.float32, mesh=None, **kwargs):
         # Per-window fallback backend when a whole slab faults on device:
         # the batched XLA kernel (ms/window), NOT the float64 oracle
@@ -273,6 +306,11 @@ class BatchedWindowEngine(WindowEngine):
                                   numT=pks[0]["numT"],
                                   scalars=pks[0]["scalars"], nh=0, nr=0)
                     res = run_packed(merged, self.dp_impl)  # async
+                if H_pad + 2 <= 255:
+                    # 7-tuple wire format: map_state split into uint8
+                    # hap-position + packed ins bits (0.53x fetch bytes)
+                    xs8, insb = _split_ms_for(H_pad + 2)(res[-1])
+                    res = res[:-1] + (xs8, insb)
             return slab, pks, compact, res
 
     def _finish_slab(self, out, staged, fetched=None):
@@ -284,7 +322,13 @@ class BatchedWindowEngine(WindowEngine):
                     # one pytree fetch (pipelined transfers) instead of
                     # six sequential ~25 ms tunnel round trips
                     fetched = jax.device_get(res)
-            (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state) = fetched
+            if len(fetched) == 7:
+                (ll, off_hap, off_hap_hmq, ll_off, ll_on, xs8, insb) = fetched
+                L_pad = pks[0]["L_pad"]
+                map_state = _merge_ms(np.asarray(xs8), np.asarray(insb),
+                                      pks[0]["H_pad"] + 2, L_pad)
+            else:
+                (ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state) = fetched
             off = 0
             with self.stats.stage("slab_decode"):
               for e, pk in zip(slab, pks):

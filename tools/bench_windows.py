@@ -68,8 +68,8 @@ def main():
     params.file_name = str(Path(d) / "out")
     eng = BatchedWindowEngine(
         [bam], fa, params,
-        batch_windows=int(os.environ.get("BENCH_BATCH_WINDOWS", "64")),
-        max_pairs_per_slab=int(os.environ.get("BENCH_MAX_PAIRS", "8192")),
+        batch_windows=int(os.environ.get("BENCH_BATCH_WINDOWS", "128")),
+        max_pairs_per_slab=int(os.environ.get("BENCH_MAX_PAIRS", "24576")),
         dp_impl="pallas" if on_tpu else "xla",
         dtype=np.float32)
     # pass 1 (cold): includes one-time kernel compiles for each quantized
