@@ -19,7 +19,10 @@ meshes."""
 
 from __future__ import annotations
 
+import copy
 import math
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import List, Optional, Tuple
 
 import jax
@@ -102,6 +105,11 @@ class BatchedWindowEngine(WindowEngine):
         # global FIFO of dispatched-not-yet-fetched slabs, shared across
         # batches: each item is (out_dict, (slab, pks, compact, res))
         self._inflight: List[tuple] = []
+        # set by the finish worker the moment the previous batch's
+        # combined fetch has landed; the next batch's dispatches wait on
+        # it so the axon tunnel never interleaves result downloads with
+        # slab uploads (measured 2-4x slab_fetch blowup when it does)
+        self._prev_fetch_done: Optional[threading.Event] = None
 
     # ------------------------------------------------------------------
     def detect_indels(self, var_file: str, glf_path: Optional[str] = None):
@@ -118,9 +126,18 @@ class BatchedWindowEngine(WindowEngine):
         all_rows: List[dict] = []
 
         staged: List[dict] = []
-        pending = None  # previous batch: dispatched, not yet called/written
+        # Single finish worker: batch N's fetch + decode + calling + GLF
+        # write run on this thread while the main thread stages batch N+1
+        # (the combined device_get waits on the tunnel with the GIL
+        # released, and the staging loop's BAM/NW/hapgen work runs in
+        # GIL-releasing native code).  One worker + FIFO futures keep GLF
+        # rows in window order; the worker never touches self.params (it
+        # gets a per-batch copy) or self._inflight.
+        finisher = ThreadPoolExecutor(max_workers=1)
+        pending_fut = None  # previous batch's in-progress finish
         index = 0
-        for candidates in read_window_file(var_file, p.var_file_is_one_based):
+        try:
+          for candidates in read_window_file(var_file, p.var_file_is_one_based):
             index += 1
             left_pos = candidates.left_pos
             right_pos = candidates.right_pos
@@ -161,25 +178,30 @@ class BatchedWindowEngine(WindowEngine):
             self.buf.old_left_pos = entry["left_pos"] if entry["error"] is None else left_pos
             staged.append(entry)
             if len(staged) >= self.batch_windows:
-                # Dispatch this batch's slabs to the device FIRST, then
-                # finish (fetch + call + write) the previous batch, then
-                # keep staging: the device crunches batch N while the
-                # host stages batch N+1 (cross-batch overlap on top of
-                # the intra-batch slab pipeline).  FIFO finishing keeps
-                # GLF rows in window order.
+                # Dispatch this batch's slabs to the device, hand the
+                # finish phase (fetch + call + write) to the worker, then
+                # keep staging: the device crunches batch N and the
+                # worker drains it while the host stages batch N+1.
+                # Collecting the previous future first bounds the
+                # pipeline to one batch in each phase.
                 new_pending = self._flush_begin(staged)
-                if pending is not None:
-                    all_rows.extend(self._flush_end(pending, glf_data))
-                pending = new_pending
+                if pending_fut is not None:
+                    all_rows.extend(pending_fut.result())
+                pending_fut = finisher.submit(self._flush_end, new_pending,
+                                              glf_data)
                 staged = []
-        if staged:
-            new_pending = self._flush_begin(staged)
-            if pending is not None:
-                all_rows.extend(self._flush_end(pending, glf_data))
-            pending = new_pending
-        if pending is not None:
-            all_rows.extend(self._flush_end(pending, glf_data))
-        out.close()
+          if staged:
+              new_pending = self._flush_begin(staged)
+              if pending_fut is not None:
+                  all_rows.extend(pending_fut.result())
+                  pending_fut = None
+              pending_fut = finisher.submit(self._flush_end, new_pending,
+                                            glf_data)
+          if pending_fut is not None:
+              all_rows.extend(pending_fut.result())
+        finally:
+            finisher.shutdown(wait=True)
+            out.close()
         return all_rows
 
     # ------------------------------------------------------------------
@@ -194,6 +216,14 @@ class BatchedWindowEngine(WindowEngine):
         overlap."""
         good = [e for e in staged
                 if e["error"] is None and not e.get("skip") and e.get("haps")]
+        # Tunnel discipline: don't start uploading this batch's slabs
+        # until the previous batch's result download has finished (its
+        # fetch then only ever overlaps pure-host staging work).
+        if self._prev_fetch_done is not None:
+            with self.stats.stage("fetch_gate"):
+                self._prev_fetch_done.wait()
+        fetch_done = threading.Event()
+        self._prev_fetch_done = fetch_done
         out: dict = {}
         slab: List[dict] = []
         slab_pairs = 0
@@ -208,14 +238,26 @@ class BatchedWindowEngine(WindowEngine):
                 slab_pairs += n
             if slab:
                 self._push_slab(out, slab)
-        return dict(staged=staged, out=out)
+        # Hand this batch's dispatched-not-yet-fetched slabs to the
+        # finish phase: from here on only the finish worker owns them,
+        # so _inflight stays a main-thread-only structure.
+        mine = [item for item in self._inflight if item[0] is out]
+        self._inflight = [it for it in self._inflight if it[0] is not out]
+        # The finish worker must not mutate shared engine state while the
+        # main thread stages the next batch; give it its own Parameters
+        # view (tid is set per window during calling).
+        return dict(staged=staged, out=out, items=mine,
+                    params=copy.copy(self.params), fetch_done=fetch_done)
 
     def _flush_end(self, pending: dict, glf_data: OutputData) -> List[dict]:
         staged = pending["staged"]
         liks_by_idx = pending["out"]
-        with self.stats.stage("device_hmm"):
-            self._drain_for(liks_by_idx)
-        p = self.params
+        try:
+            with self.stats.stage("device_hmm"):
+                self._drain_for(liks_by_idx, pending["items"])
+        finally:
+            pending["fetch_done"].set()
+        p = pending.get("params") or self.params
         rows: List[dict] = []
         for e in staged:
             if e["error"] is not None:
@@ -234,7 +276,7 @@ class BatchedWindowEngine(WindowEngine):
                 liks = liks_by_idx.get(e["index"])
                 if liks is None:
                     continue
-                rows.extend(self._call_window(e, liks, glf_data))
+                rows.extend(self._call_window(e, liks, glf_data, p))
                 self.stats.windows_ok += 1
                 self.stats.reads_processed += len(e["reads"])
             except WindowError as err:
@@ -380,15 +422,13 @@ class BatchedWindowEngine(WindowEngine):
         except Exception:
             self._rescue_slab(out, st[0])
 
-    def _drain_for(self, out):
-        """Finish every in-flight slab belonging to `out` (the oldest
-        entries).  All their results come back in ONE device_get — one
-        tunnel round trip per batch instead of one per slab — then each
-        slab decodes from its prefetched arrays."""
-        mine = [item for item in self._inflight if item[0] is out]
+    def _drain_for(self, out, mine):
+        """Finish every slab belonging to `out` (handed over by
+        _flush_begin).  All their results come back in ONE device_get —
+        one tunnel round trip per batch instead of one per slab — then
+        each slab decodes from its prefetched arrays."""
         if not mine:
             return
-        self._inflight = [it for it in self._inflight if it[0] is not out]
         try:
             with self.stats.stage("slab_fetch"):
                 fetched = jax.device_get([st[3] for _, st in mine])
@@ -404,8 +444,8 @@ class BatchedWindowEngine(WindowEngine):
                 self._rescue_slab(o, st[0])
 
     # ------------------------------------------------------------------
-    def _call_window(self, e, liks, glf_data) -> List[dict]:
-        p = self.params
+    def _call_window(self, e, liks, glf_data, p=None) -> List[dict]:
+        p = self.params if p is None else p
         haps = e["haps"]
         reads = e["reads"]
         from .window import check_guards_and_on_hap
@@ -440,10 +480,10 @@ class BatchedWindowEngine(WindowEngine):
                     self._write_realigned_bam(
                         e["index"], haps, reads, liks, on_hap,
                         e["left_pos"], e["right_pos"], e["candidates"],
-                        diploid=True)
+                        diploid=True, params=p)
                 if p.estimate_hap_freqs:
                     self._write_realigned_bam(
                         e["index"], haps, reads, liks, on_hap,
                         e["left_pos"], e["right_pos"], e["candidates"],
-                        diploid=False)
+                        diploid=False, params=p)
         return rows

@@ -308,7 +308,8 @@ class WindowEngine:
 
     # ------------------------------------------------------------------
     def _write_realigned_bam(self, index, haps, reads, liks, on_hap,
-                             left_pos, right_pos, candidates, diploid):
+                             left_pos, right_pos, candidates, diploid,
+                             params=None):
         """Realigned-BAM output (DInDel.cpp:498-534, 589-633): MAP
         haplotype per read -> composed CIGAR -> per-window BAM (+ optional
         post-process hook)."""
@@ -316,7 +317,7 @@ class WindowEngine:
         import subprocess
         from .realign_bam import get_cigar, write_realigned_bam
         from ..infer.diploid import get_haplotype_prior
-        p = self.params
+        p = self.params if params is None else params
         nh = len(haps)
         nr = len(reads)
         ref_seq_pos = left_pos
