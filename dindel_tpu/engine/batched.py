@@ -124,6 +124,9 @@ class BatchedWindowEngine(WindowEngine):
         self.buf.reset = True
         old_tid = "-1"
         all_rows: List[dict] = []
+        # No cross-call overlap exists; a stale unset Event from an
+        # aborted previous call would deadlock the first _flush_begin.
+        self._prev_fetch_done = None
 
         staged: List[dict] = []
         # Single finish worker: batch N's fetch + decode + calling + GLF
@@ -257,7 +260,7 @@ class BatchedWindowEngine(WindowEngine):
                 self._drain_for(liks_by_idx, pending["items"])
         finally:
             pending["fetch_done"].set()
-        p = pending.get("params") or self.params
+        p = pending["params"]  # per-batch copy; KeyError > silent race
         rows: List[dict] = []
         for e in staged:
             if e["error"] is not None:
@@ -277,8 +280,7 @@ class BatchedWindowEngine(WindowEngine):
                 if liks is None:
                     continue
                 rows.extend(self._call_window(e, liks, glf_data, p))
-                self.stats.windows_ok += 1
-                self.stats.reads_processed += len(e["reads"])
+                self.stats.record_ok(len(e["reads"]))
             except WindowError as err:
                 msg = "error_" + str(err).replace(" ", "_")
                 self.stats.record_error(msg)
@@ -394,7 +396,12 @@ class BatchedWindowEngine(WindowEngine):
         a slab throws, re-score each window individually through the
         per-window backend (batched XLA kernel by default) so one
         pathological window cannot take down its slab-mates.
-        Per-window failures surface as error_* rows via the entry."""
+        Per-window failures surface as error_* rows via the entry.
+
+        Note: on the finish worker this dispatches+fetches device work
+        while the main thread may be uploading the next batch's slabs,
+        violating the fetch-vs-upload tunnel discipline — accepted for
+        this rare fault path (correct, just slow when it triggers)."""
         for e in slab:
             try:
                 liks, _on_hap = self.compute_likelihoods(

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Dict, Optional
@@ -26,6 +27,12 @@ class RunStats:
     cells_scored: int = 0
     stage_seconds: Dict[str, float] = field(default_factory=dict)
     wall_start: float = field(default_factory=time.perf_counter)
+    # The batched engine updates stats from both the staging thread and
+    # the finish worker ('device_hmm'/'slab_fetch' are timed on both);
+    # read-modify-writes go through this lock so increments don't vanish
+    # under bytecode interleaving.
+    lock: threading.Lock = field(default_factory=threading.Lock,
+                                 repr=False, compare=False)
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -33,8 +40,10 @@ class RunStats:
         try:
             yield
         finally:
-            self.stage_seconds[name] = (self.stage_seconds.get(name, 0.0)
-                                        + time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            with self.lock:
+                self.stage_seconds[name] = (self.stage_seconds.get(name, 0.0)
+                                            + dt)
 
     def record_window(self, n_reads: int, n_haps: int, max_read_len: int,
                       max_hap_len: int, num_t: int) -> None:
@@ -46,8 +55,15 @@ class RunStats:
                               * 2 * (max_hap_len + 2) * num_t)
 
     def record_error(self, message: str) -> None:
-        self.windows_error += 1
-        self.error_messages[message] = self.error_messages.get(message, 0) + 1
+        with self.lock:
+            self.windows_error += 1
+            self.error_messages[message] = self.error_messages.get(message, 0) + 1
+
+    def record_ok(self, n_reads: int) -> None:
+        """Worker-thread-safe windows_ok/reads_processed increment."""
+        with self.lock:
+            self.windows_ok += 1
+            self.reads_processed += n_reads
 
     def summary(self) -> dict:
         wall = time.perf_counter() - self.wall_start

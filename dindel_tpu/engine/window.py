@@ -120,6 +120,9 @@ class WindowEngine:
                  params: Parameters, libraries: Optional[LibraryCollection] = None,
                  hmm_backend: str = "jax"):
         self.bams = [open_bam(p) for p in bam_paths]
+        # captured once so the batched engine's finish worker never
+        # touches the live reader objects while the main thread fetches
+        self.bam_header = self.bams[0].header
         self.fasta = FastaFile(fasta_path)
         self.params = params
         self.libraries = libraries if libraries is not None else LibraryCollection()
@@ -357,7 +360,7 @@ class WindowEngine:
         right_ok = right_pos - p.min_read_overlap
         name = (f"{p.file_name}.ra.{index}_{p.tid}_{left_ok}_{right_ok}.bam")
         write_realigned_bam(name, cigars, reads, on_hap,
-                            self.bams[0].header)
+                            self.bam_header)
         if p.process_realigned_bam != "no":
             cmd = [p.process_realigned_bam, name,
                    p.file_name + "_realigned", p.tid,

@@ -112,8 +112,24 @@ def test_two_process_distributed(tmp_path):
         assert "WORKER_OK" in out
     vcf = (tmp_path / "calls.vcf").read_text()
     recs = [l.split("\t") for l in vcf.splitlines() if not l.startswith("#")]
-    # both planted indels called across the two hosts' shards
-    assert any(abs(int(r[1]) - 700) <= 6 and len(r[3]) > len(r[4])
-               for r in recs), vcf
-    assert any(abs(int(r[1]) - 2100) <= 6 and len(r[4]) > len(r[3])
-               for r in recs), vcf
+    # both planted het indels called across the two hosts' shards, with
+    # the exact genotype
+    dels = [r for r in recs
+            if abs(int(r[1]) - 700) <= 6 and len(r[3]) > len(r[4])]
+    inss = [r for r in recs
+            if abs(int(r[1]) - 2100) <= 6 and len(r[4]) > len(r[3])]
+    assert dels and dels[0][9].split(":")[0] == "0/1", vcf
+    assert inss and inss[0][9].split(":")[0] == "0/1", vcf
+
+    # the multi-host path must not drift from single-host by even a base:
+    # run the same shards in ONE process and require a byte-identical VCF
+    from dindel_tpu.config import Parameters
+    from dindel_tpu.pipeline.run_parallel import run_shards
+    from dindel_tpu.pipeline.merge_diploid import merge_output_diploid
+    params = Parameters()
+    params.do_diploid = True
+    glfs, _ = run_shards(win_files, [bam], fa, params,
+                         str(tmp_path / "single"))
+    merge_output_diploid(glfs, str(tmp_path / "calls_single.vcf"), fa,
+                         sample_id="S")
+    assert (tmp_path / "calls_single.vcf").read_text() == vcf
