@@ -33,12 +33,16 @@ from ..config import Parameters
 from ..model import Haplotype, MLAlignment, Read
 from ..out.glf import OutputData, make_glf_output
 from ..variants import AlignedCandidates, read_window_file
-from ..hmm.batch import (BatchedPairHMM, decode_liks_view,
+from ..hmm.batch import (BatchedPairHMM, LiksStats, decode_liks_view,
                          merge_compact, pack_pairs, pack_pairs_compact,
                          pad_compact, run_packed, run_packed_compact,
-                         run_packed_compact_sharded, _round_up)
+                         run_packed_compact_sharded,
+                         run_packed_compact_stats, _round_up)
 from ..infer.filterhaps import filter_haplotypes
 from ..infer.diploid import diploid_glf, _WindowThrow
+from ..infer.device_call import (build_call_tables, diploid_glf_dev,
+                                 filter_haplotypes_dev, pair_enum,
+                                 _window_call)
 from ..infer.pooled import estimate_hap_freqs_bayes_em
 from .reads import ReadBuffer, WindowError, get_reads
 from .window import WindowEngine
@@ -84,7 +88,8 @@ class BatchedWindowEngine(WindowEngine):
 
     def __init__(self, *args, batch_windows: int = 128,
                  max_pairs_per_slab: int = 24576, dp_impl: str = "xla",
-                 dtype=np.float32, mesh=None, **kwargs):
+                 dtype=np.float32, mesh=None, device_call: bool = True,
+                 **kwargs):
         # Per-window fallback backend when a whole slab faults on device:
         # the batched XLA kernel (ms/window), NOT the float64 oracle
         # (minutes/window at scale).  Bit-parity with the slab path is
@@ -95,6 +100,13 @@ class BatchedWindowEngine(WindowEngine):
         self.max_pairs_per_slab = max_pairs_per_slab
         self.dp_impl = dp_impl
         self.np_dtype = dtype
+        # Device-side calling (SURVEY §3.1 hot loops #3-#4): per-pair
+        # stats + filter coverage + diploid pair/site folds run on
+        # device and only small per-window arrays are fetched; the
+        # (B, L_pad) map_state planes stay on device.  Windows that need
+        # per-pair MLAlignments (realigned BAM, --opl) take the
+        # full-decode path instead.
+        self.device_call = device_call
         # dp x rp device mesh for the slab phase (SURVEY.md §2.4): pairs
         # shard over every mesh device; None = single device.  Accepts a
         # jax.sharding.Mesh or an (n_dp, n_rp) tuple.
@@ -303,12 +315,23 @@ class BatchedWindowEngine(WindowEngine):
     # batch N+1.
     PIPELINE_DEPTH = 4
 
+    def _want_device_call(self) -> bool:
+        p = self.params
+        return (self.device_call
+                and not p.output_realigned_bam
+                and not p.output_pooled_likelihoods)
+
     def _stage_slab(self, slab):
             """Host pack + async device dispatch; returns in-flight
             state.  Uses the compact per-read/per-hap table format
             (~20x smaller device upload; see pack_pairs_compact) unless a
             window needs the insert-size positional prior, in which case
-            the whole slab ships dense."""
+            the whole slab ships dense.
+
+            In device-call mode (the default) the dispatch also runs the
+            per-pair stats pass and the per-window diploid read folds on
+            device; only per-pair scalars + per-window matrices come
+            back."""
             p = self.params
             H_max = max(max(h.size() for h in e["haps"]) for e in slab)
             L_max = max(max(r.size() for r in e["reads"]) for e in slab)
@@ -324,16 +347,23 @@ class BatchedWindowEngine(WindowEngine):
                     pks.append(pack_pairs_compact(
                         e["haps"], e["reads"], e["left_pos"], p.obs_params,
                         self.np_dtype, H_pad=H_pad, L_pad=L_pad))
-                if any(pk is None for pk in pks):
+                compact = not any(pk is None for pk in pks)
+                if not compact:
                     pks = [pack_pairs(e["haps"], e["reads"], e["left_pos"],
                                       p.obs_params, self.np_dtype,
                                       H_pad=H_pad, L_pad=L_pad)
                            for e in slab]
-                    compact = False
-                else:
-                    compact = True
+                use_dev = compact and self._want_device_call()
+                if use_dev:
+                    for e in slab:
+                        e["ctab"] = build_call_tables(
+                            e["haps"], e["candidates"], e["left_pos"], p)
             with self.stats.stage("slab_dispatch"):
-                if compact:
+                if use_dev:
+                    mode = "stats"
+                    res = self._dispatch_stats(slab, pks)
+                elif compact:
+                    mode = "compact"
                     merged = pad_compact(merge_compact(pks))
                     if self.mesh is not None:
                         res = run_packed_compact_sharded(
@@ -341,6 +371,7 @@ class BatchedWindowEngine(WindowEngine):
                     else:
                         res = run_packed_compact(merged, self.dp_impl)
                 else:
+                    mode = "dense"
                     keys = ["hap_len", "read_len", "b_mid", "read_codes",
                             "hap_codes", "eq", "uq", "lpe", "lpn", "lpeV",
                             "lpnV", "prior_rmq", "prior_hmq"]
@@ -350,22 +381,106 @@ class BatchedWindowEngine(WindowEngine):
                                   numT=pks[0]["numT"],
                                   scalars=pks[0]["scalars"], nh=0, nr=0)
                     res = run_packed(merged, self.dp_impl)  # async
-                if H_pad + 2 <= 255:
+                if mode in ("compact", "dense") and H_pad + 2 <= 255:
                     # 7-tuple wire format: map_state split into uint8
                     # hap-position + packed ins bits (0.53x fetch bytes)
                     xs8, insb = _split_ms_for(H_pad + 2)(res[-1])
                     res = res[:-1] + (xs8, insb)
-            return slab, pks, compact, res
+            return slab, pks, mode, res
+
+    def _dispatch_stats(self, slab, pks):
+        """Device-call dispatch: DP + finish + pair stats + window folds,
+        all async on device; returns {'stats': ..., 'base': ..., 'site':
+        ...} device pytree."""
+        p = self.params
+        merged = pad_compact(merge_compact(pks))
+        # per-hap variant flank tables, aligned row-for-row with the
+        # merged (and padded) compact hap tables
+        vmax = max((len(e["ctab"]["slot_vars"][h])
+                    for e in slab for h in range(len(e["haps"]))),
+                   default=0)
+        V = _round_up(max(vmax, 1), 2)
+        n_hap_rows = merged["hap_codes_h"].shape[0]
+        v_left = np.zeros((n_hap_rows, V), np.int32)
+        v_right = np.zeros((n_hap_rows, V), np.int32)
+        v_isdel = np.zeros((n_hap_rows, V), bool)
+        v_valid = np.zeros((n_hap_rows, V), bool)
+        row = 0
+        for e in slab:
+            ct = e["ctab"]
+            nh = len(e["haps"])
+            v_left[row:row + nh, :ct["v_left"].shape[1]] = ct["v_left"]
+            v_right[row:row + nh, :ct["v_right"].shape[1]] = ct["v_right"]
+            v_isdel[row:row + nh, :ct["v_isdel"].shape[1]] = ct["v_isdel"]
+            v_valid[row:row + nh, :ct["v_valid"].shape[1]] = ct["v_valid"]
+            row += nh
+        vtab = dict(v_left_h=v_left, v_right_h=v_right,
+                    v_isdel_h=v_isdel, v_valid_h=v_valid)
+        res = run_packed_compact_stats(
+            merged, self.dp_impl, vtab, p.obs_params.max_mismatch,
+            mesh=self.mesh)
+
+        # per-window diploid read folds: scatter the slab's flat ll into
+        # a (W, NH, NR) tensor and fold in the reference's order
+        W = _round_up(len(slab), 8)
+        NH = max(len(e["haps"]) for e in slab)
+        NR = max(len(e["reads"]) for e in slab)
+        NR = max(64, 1 << (NR - 1).bit_length())
+        S = max(len(e["ctab"]["var_positions"]) for e in slab)
+        S = _round_up(max(S, 1), 4)
+        h1p, h2p = pair_enum(NH)
+        NP = len(h1p)
+        kmap_of = {}
+        B = merged["hap_idx"].shape[0]
+        dest_w = np.zeros(B, np.int32)
+        dest_h = np.zeros(B, np.int32)
+        dest_r = np.zeros(B, np.int32)
+        nr_w = np.zeros(W, np.int32)
+        calldt = (np.float64 if jax.config.jax_enable_x64 else np.float32)
+        pair_pr = np.zeros((W, S, NP), calldt)
+        off = 0
+        for w, e in enumerate(slab):
+            ct = e["ctab"]
+            nh = len(e["haps"])
+            nr = len(e["reads"])
+            nb = nh * nr
+            dest_w[off:off + nb] = w
+            dest_h[off:off + nb] = np.repeat(np.arange(nh, dtype=np.int32),
+                                             nr)
+            dest_r[off:off + nb] = np.tile(np.arange(nr, dtype=np.int32),
+                                           nh)
+            nr_w[w] = nr
+            # window pair k -> padded pair index under the NH enumeration
+            kmap = (ct["h1v"] * (2 * NH - ct["h1v"] + 1)) // 2 \
+                + (ct["h2v"] - ct["h1v"])
+            kmap_of[e["index"]] = kmap
+            ns = len(ct["var_positions"])
+            if ns:
+                pair_pr[w, :ns, kmap] = ct["pair_pr"].T
+            off += nb
+        if off < B:  # pad_compact pair clones: replicate the last window
+            dest_w[off:] = dest_w[off - 1]
+            dest_h[off:] = dest_h[off - 1]
+            dest_r[off:] = dest_r[off - 1]
+        base, site = _window_call(
+            W, NH, S, NR, res["ll"], jnp.asarray(dest_w),
+            jnp.asarray(dest_h), jnp.asarray(dest_r), jnp.asarray(nr_w),
+            jnp.asarray(pair_pr))
+        return dict(stats=res, base=base, site=site, kmap_of=kmap_of)
 
     def _finish_slab(self, out, staged, fetched=None):
             """Blocking fetch (unless prefetched) + vectorized decode."""
             p = self.params
-            slab, pks, compact, res = staged
+            slab, pks, mode, res = staged
             if fetched is None:
                 with self.stats.stage("slab_fetch"):
                     # one pytree fetch (pipelined transfers) instead of
                     # six sequential ~25 ms tunnel round trips
                     fetched = jax.device_get(res)
+            if mode == "stats":
+                self._finish_slab_stats(out, slab, pks, fetched)
+                return
+            compact = (mode == "compact")
             if len(fetched) == 7:
                 (ll, off_hap, off_hap_hmq, ll_off, ll_on, xs8, insb) = fetched
                 L_pad = pks[0]["L_pad"]
@@ -389,6 +504,30 @@ class BatchedWindowEngine(WindowEngine):
                     e["haps"], e["reads"], pk, ll[sl], off_hap[sl],
                     off_hap_hmq[sl], ll_off[sl], ll_on[sl], map_state[sl],
                     p.obs_params)
+                off += B
+
+    def _finish_slab_stats(self, out, slab, pks, fetched):
+        """Device-call finish: slice the per-pair stat vectors and the
+        per-window fold matrices; no map_state, no host decode."""
+        st = {k: np.asarray(v) for k, v in fetched["stats"].items()}
+        base = np.asarray(fetched["base"], np.float64)
+        site = np.asarray(fetched["site"], np.float64)
+        kmap_of = fetched["kmap_of"]
+        off = 0
+        with self.stats.stage("slab_decode"):
+            for w, (e, pk) in enumerate(zip(slab, pks)):
+                B = pk["hap_len"].shape[0]
+                sl = slice(off, off + B)
+                view = LiksStats(e["haps"], e["reads"],
+                                 self.params.obs_params,
+                                 pk["read_len"], pk["hap_len"],
+                                 {k: v[sl] for k, v in st.items()})
+                kmap = kmap_of[e["index"]]
+                ns = len(e["ctab"]["var_positions"])
+                dev = dict(base=base[w][kmap],
+                           site=site[w][:ns][:, kmap] if ns
+                           else np.zeros((0, len(kmap))))
+                out[e["index"]] = ("dev", view, dev)
                 off += B
 
     def _rescue_slab(self, out, slab):
@@ -455,10 +594,34 @@ class BatchedWindowEngine(WindowEngine):
         p = self.params if p is None else p
         haps = e["haps"]
         reads = e["reads"]
+        dev = None
+        if isinstance(liks, tuple) and liks[0] == "dev":
+            _tag, liks, dev = liks
         from .window import check_guards_and_on_hap
         on_hap_flags = check_guards_and_on_hap(liks, len(haps), len(reads))
         rows: List[dict] = []
         with self.stats.stage("calling"):
+            if dev is not None:
+                ctab = e["ctab"]
+                filtered, var_coverage = filter_haplotypes_dev(
+                    haps, reads, liks, ctab, p, p.filter_haplotypes)
+                if p.estimate_hap_freqs:
+                    _f, _p, emrows = estimate_hap_freqs_bayes_em(
+                        haps, reads, liks, e["pos"], e["left_pos"],
+                        e["right_pos"], glf_data, e["index"],
+                        e["candidates"], p, filtered, var_coverage,
+                        len(self.bams), p.bayes_type)
+                    rows.extend(emrows)
+                if p.do_diploid:
+                    try:
+                        rows.extend(diploid_glf_dev(
+                            haps, reads, liks, dev["base"], dev["site"],
+                            e["pos"], e["left_pos"], e["right_pos"],
+                            glf_data, e["index"], ctab, p, filtered,
+                            var_coverage, "dip"))
+                    except _WindowThrow as err:
+                        raise WindowError(str(err))
+                return rows
             if p.estimate_hap_freqs:
                 filtered, var_coverage = filter_haplotypes(
                     haps, reads, liks, p, p.filter_haplotypes)

@@ -82,8 +82,8 @@ def check_guards_and_on_hap(liks, nh: int, nr: int):
     """Positive-loglik abort + NaN guard + on_hap flags over the liks
     matrix (DInDel.cpp:1717-1735), array-level for LiksView so the guards
     do not force per-pair materialization."""
-    from ..hmm.batch import LiksView
-    if isinstance(liks, LiksView):
+    from ..hmm.batch import LiksStats, LiksView
+    if isinstance(liks, (LiksView, LiksStats)):
         import numpy as np
         ll = liks.ll2d
         bad = (ll > 0.1) | ~np.isfinite(ll)

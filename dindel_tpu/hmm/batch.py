@@ -557,8 +557,17 @@ def pack_pairs_compact(haps: List[Haplotype], reads: List[Read],
                         -0.5,
                         math.log(1.0 - math.exp(-0.5)),
                         math.log(1.0 - p.p_error)], dtype)
+    # per-read-base tables for the device stats pass (_pair_stats):
+    # base-quality masks + log10(1-q) terms (in_read masking matches the
+    # host decode, which only reads b < read_len)
+    bqt_r = in_read & (qual_r > p.check_base_qual_threshold)
+    q95_r = in_read & (qual_r > 0.95)
+    with np.errstate(divide="ignore"):
+        log10q_r = np.where(in_read,
+                            np.log10(np.maximum(1.0 - qual_r, 1e-300)), 0.0)
     return dict(
         compact=True, H_pad=H_pad, L_pad=L_pad, numT=numT, nh=nh, nr=nr,
+        bqt_r=bqt_r, q95_r=q95_r, log10q_r=log10q_r,
         read_codes_r=read_codes_r, eq_r=eq_r, uq_r=uq_r,
         hap_codes_h=hap_codes_h, lpe_h=lpe_h, lpn_h=lpn_h,
         lpeV_h=lpeV_h, lpnV_h=lpnV_h,
@@ -580,7 +589,8 @@ def merge_compact(pks: List[dict]) -> dict:
     out = dict(pks[0])
     for key in ("H_pad", "L_pad", "numT"):
         assert all(pk[key] == out[key] for pk in pks)
-    tables_r = ("read_codes_r", "eq_r", "uq_r", "log_off_r", "log_on_r")
+    tables_r = ("read_codes_r", "eq_r", "uq_r", "log_off_r", "log_on_r",
+                "bqt_r", "q95_r", "log10q_r")
     tables_h = ("hap_codes_h", "lpe_h", "lpn_h", "lpeV_h", "lpnV_h")
     for k in tables_r + tables_h:
         out[k] = np.concatenate([pk[k] for pk in pks])
@@ -613,7 +623,8 @@ def pad_compact(pk: dict) -> dict:
             [a, np.repeat(a[-1:], t - n, axis=0)], axis=0)
 
     out = dict(pk)
-    for k in ("read_codes_r", "eq_r", "uq_r", "log_off_r", "log_on_r"):
+    for k in ("read_codes_r", "eq_r", "uq_r", "log_off_r", "log_on_r",
+              "bqt_r", "q95_r", "log10q_r"):
         out[k] = padrows(pk[k], 64)
     for k in ("hap_codes_h", "lpe_h", "lpn_h", "lpeV_h", "lpnV_h"):
         out[k] = padrows(pk[k], 8)
@@ -741,6 +752,45 @@ def run_packed_compact(pk: dict, dp_impl: str = "xla",
         jnp.asarray(pk["log_off_r"]), jnp.asarray(pk["log_on_r"]),
         (pk["log_off_hmq"], pk["log_on_hmq"]),
         (pk["log_ins0"], pk["log_ins1"]), pk["scalars"])
+
+
+def run_packed_compact_stats(pk: dict, dp_impl: str, vtab: dict,
+                             max_mismatch: int, exact_ties: bool = None,
+                             mesh=None, want_map_state: bool = False):
+    """Compact slab DP + finish + DEVICE per-pair stats: the production
+    calling path.  Returns a dict of device arrays (all async); without
+    want_map_state the (B, L_pad) planes never leave the device.
+
+    vtab: per-hap variant flank tables aligned with the (padded) compact
+    hap tables — v_left_h/v_right_h (rows, V) int32, v_isdel_h/v_valid_h
+    (rows, V) bool."""
+    if exact_ties is None:
+        exact_ties = (dp_impl == "xla")
+    if mesh is not None:
+        out = run_packed_compact_sharded(pk, dp_impl, mesh,
+                                         exact_ties=exact_ties)
+    else:
+        out = run_packed_compact(pk, dp_impl, exact_ties=exact_ties)
+    V = vtab["v_left_h"].shape[1]
+    stats = _pair_stats(
+        pk["H_pad"], pk["L_pad"], V, out[5],
+        jnp.asarray(pk["read_len"]), jnp.asarray(pk["hap_len"]),
+        jnp.asarray(pk["read_idx"]), jnp.asarray(pk["hap_idx"]),
+        jnp.asarray(pk["read_codes_r"]), jnp.asarray(pk["hap_codes_h"]),
+        jnp.asarray(pk["bqt_r"]), jnp.asarray(pk["q95_r"]),
+        jnp.asarray(pk["log10q_r"]),
+        jnp.asarray(vtab["v_left_h"]), jnp.asarray(vtab["v_right_h"]),
+        jnp.asarray(vtab["v_isdel_h"]), jnp.asarray(vtab["v_valid_h"]),
+        out[2], jnp.asarray(np.int32(max_mismatch)))
+    res = dict(ll=out[0], off_hap=out[1], off_hap_hmq=out[2],
+               ll_off=out[3], ll_on=out[4],
+               fb=stats[0], lb=stats[1], n_bqt=stats[2], n_mm_bqt=stats[3],
+               m_log_bq=stats[4], n_mm_left=stats[5], n_mm_right=stats[6],
+               num_mm=stats[7], has_event=stats[8], any_mism=stats[9],
+               n_ind=stats[10], cov_ok=stats[11])
+    if want_map_state:
+        res["map_state"] = out[5]
+    return res
 
 
 _SHARDED_CACHE = {}
@@ -1607,6 +1657,204 @@ def decode_map_alignments(haps: List[Haplotype], reads: List[Read],
     that want plain lists)."""
     return decode_liks_view(haps, reads, pk, ll, off_hap, off_hap_hmq,
                             ll_off, ll_on, map_state, p).materialize()
+
+
+# ---------------------------------------------------------------------------
+# Device-side per-pair statistics + filter coverage (SURVEY.md §3.1:
+# everything between bam_fetch and glfData.output becomes device code).
+#
+# The host decode path (native/decode.cpp + LiksView) derives per-pair
+# alignment statistics from the fetched (B, L_pad) map_state planes —
+# ~90% of the result bytes through the tunnel.  _pair_stats computes the
+# same quantities ON DEVICE from the map_state tensor that _finish
+# already produced, so calling-only windows fetch a handful of (B,)
+# scalars plus a tiny (B, V) coverage matrix instead.  Field-for-field
+# parity with LiksView is asserted in tests/test_device_call.py.
+
+@partial(jax.jit, static_argnames=("H_pad", "L_pad", "V"))
+def _pair_stats(H_pad, L_pad, V, map_state, read_len, hap_len,
+                read_idx, hap_idx, read_codes_r, hap_codes_h,
+                bqt_r, q95_r, log10q_r,
+                v_left_h, v_right_h, v_isdel_h, v_valid_h,
+                off_hap_hmq, max_mismatch):
+    """Per-pair MAP-path statistics (LiksView._init_native parity) and
+    per-(pair, variant-slot) filter coverage (filterhaps view parity).
+
+    v_*_h are (n_hap_rows, V) per-hap variant flank tables aligned with
+    the compact hap tables; slot v of pair i refers to the v-th indel
+    variant of hap hap_idx[i] (invalid slots masked by v_valid_h)."""
+    B = map_state.shape[0]
+    S_half = H_pad + 2
+    RO = H_pad + 1
+    ms = map_state.astype(jnp.int32)
+    hl = hap_len.astype(jnp.int32)[:, None]
+    rl = read_len.astype(jnp.int32)[:, None]
+    read_codes = read_codes_r[read_idx]
+    hap_codes = hap_codes_h[hap_idx]
+    bqt_p = bqt_r[read_idx]
+    q95_p = q95_r[read_idx]
+    log10q_p = log10q_r[read_idx]
+
+    ins = ms >= S_half
+    x_all = ms % S_half
+    xs = jnp.where(x_all == RO, hl + 1, x_all)
+    col = jnp.arange(L_pad, dtype=jnp.int32)[None, :]
+    validc = col < rl
+    on = (xs >= 1) & (xs <= hl) & validc
+    noins_on = on & ~ins
+    ins_ev = ins & on
+    del_ev = (noins_on[:, :-1] & ~ins[:, 1:] & (col[:, 1:] < rl)
+              & (xs[:, 1:] - xs[:, :-1] > 1))
+    has_event = ins_ev.any(axis=1) | del_ev.any(axis=1)
+
+    big = jnp.int32(np.iinfo(np.int32).max)
+    fb = jnp.where(noins_on, xs - 1, big).min(axis=1)
+    fb = jnp.where(fb == big, -1, fb)
+    lb = jnp.where(noins_on, xs - 1, -1).max(axis=1)
+
+    bqt = noins_on & bqt_p
+    hc = jnp.take_along_axis(hap_codes, jnp.clip(xs - 1, 0, H_pad - 1),
+                             axis=1)
+    mism = noins_on & (read_codes != hc)
+    n_bqt = bqt.sum(axis=1, dtype=jnp.int32)
+    n_mm_bqt = (mism & bqt).sum(axis=1, dtype=jnp.int32)
+    n_mm_left = (mism & (col < 6)).sum(axis=1, dtype=jnp.int32)
+    n_mm_right = (mism & (col > rl - 6)).sum(axis=1, dtype=jnp.int32)
+    num_mm = (mism & q95_p).sum(axis=1, dtype=jnp.int32)
+    any_mism = mism.any(axis=1)
+
+    # sequential left-fold (bit-parity with the per-base loop: masked
+    # terms add +0.0, an exact identity)
+    mlq_terms = jnp.where(bqt, log10q_p, jnp.zeros((), log10q_p.dtype))
+
+    def mlq_body(acc, t):
+        return acc + t, None
+
+    m_log_bq, _ = lax.scan(mlq_body,
+                           jnp.zeros((B,), log10q_p.dtype),
+                           mlq_terms.T, unroll=8)
+
+    # distinct MAP-path indel-event positions (LiksView
+    # n_indel_entries_row parity): one scan over read bases carrying
+    # (last event pos, any-event, in-run-seen-entry, count).  Event
+    # positions are non-decreasing along the path so adjacent-duplicate
+    # collapse counts distinct dict keys exactly.
+    del_trigger = jnp.concatenate(
+        [del_ev, jnp.zeros((B, 1), bool)], axis=1)
+    ev_inhap = ins & on  # candidate ins-entry bases
+
+    def nind_body(carry, x):
+        last_pos, has_prev, seen_run, count = carry
+        ins_b, inhap_b, del_b, x_b = x
+        entry = inhap_b & ~seen_run
+        seen_run = jnp.where(ins_b, seen_run | inhap_b, False)
+        ev = entry | del_b
+        pos = x_b
+        new = ev & (~has_prev | (pos != last_pos))
+        count = count + new.astype(jnp.int32)
+        last_pos = jnp.where(ev, pos, last_pos)
+        has_prev = has_prev | ev
+        return (last_pos, has_prev, seen_run, count), None
+
+    zb = jnp.zeros((B,), bool)
+    (_, _, _, n_ind), _ = lax.scan(
+        nind_body,
+        (jnp.zeros((B,), jnp.int32), zb, zb, jnp.zeros((B,), jnp.int32)),
+        (ins.T, ev_inhap.T, del_trigger.T, xs.T), unroll=8)
+
+    # filter coverage per variant slot (DInDel.cpp:1984-2071 semantics,
+    # including the sentinel-code and negative-index quirks the view
+    # implementation reproduces)
+    hp = jnp.where(noins_on, xs - 1, jnp.where(xs == 0, -3, -4))
+    sel = (~off_hap_hmq) & (~has_event)
+    wrap = jnp.where(hp >= 0, hp, hl + hp)
+    hchar = jnp.take_along_axis(hap_codes,
+                                jnp.clip(wrap, 0, H_pad - 1), axis=1)
+    mm_base = hchar != read_codes
+    cov_cols = []
+    for v in range(V):
+        left = v_left_h[:, v][hap_idx][:, None]
+        right = v_right_h[:, v][hap_idx][:, None]
+        isdel = v_isdel_h[:, v][hap_idx]
+        valid_v = v_valid_h[:, v][hap_idx]
+        inr = (hp >= left) & (hp <= right) & validc
+        c_noins = (inr & noins_on).sum(axis=1, dtype=jnp.int32)
+        has_lo = (inr & (hp == -3)).any(axis=1)
+        has_ro = (inr & (hp == -4)).any(axis=1)
+        c_size = c_noins + has_lo.astype(jnp.int32) + has_ro.astype(jnp.int32)
+        mm_v = inr & mm_base
+        mm_v = jnp.where(isdel[:, None],
+                         mm_v & (hchar != ord("N")), mm_v)
+        nmm = mm_v.sum(axis=1, dtype=jnp.int32)
+        ln = right[:, 0] - left[:, 0] + 1
+        ok_mm = nmm <= max_mismatch
+        del_ok = (c_size >= ln) & ok_mm
+        ins_ok = ok_mm & (c_size == ln)
+        cov_cols.append(sel & valid_v
+                        & jnp.where(isdel, del_ok, ins_ok))
+    cov_ok = (jnp.stack(cov_cols, axis=1) if V
+              else jnp.zeros((B, 0), bool))
+    return (fb.astype(jnp.int32), lb.astype(jnp.int32), n_bqt, n_mm_bqt,
+            m_log_bq, n_mm_left, n_mm_right, num_mm, has_event, any_mism,
+            n_ind, cov_ok)
+
+
+class LiksStats:
+    """Stats-only liks matrix: the device-computed per-pair scalars the
+    callers (diploid, pooled, filter, guards) consume — no map_state
+    planes, no per-base decode.  Exposes the same array attributes as
+    LiksView; per-pair MLAlignment materialization is unavailable (the
+    engine routes realigned-BAM/--opl windows through the full-decode
+    path instead)."""
+
+    def __init__(self, haps, reads, p, read_len, hap_len, fetched: dict):
+        self.haps = haps
+        self.reads = reads
+        self.p = p
+        self.nh = len(haps)
+        self.nr = len(reads)
+        self.read_len = read_len
+        self._hap_len = hap_len
+        self.ll = np.asarray(fetched["ll"], np.float64)
+        self.off_hap = np.asarray(fetched["off_hap"], bool)
+        self.off_hap_hmq = np.asarray(fetched["off_hap_hmq"], bool)
+        self.ll_off = np.asarray(fetched["ll_off"], np.float64)
+        self.ll_on = np.asarray(fetched["ll_on"], np.float64)
+        self.fb = np.asarray(fetched["fb"], np.int64)
+        self.lb = np.asarray(fetched["lb"], np.int64)
+        self.n_bqt = np.asarray(fetched["n_bqt"], np.int64)
+        self.n_mm_bqt = np.asarray(fetched["n_mm_bqt"], np.int64)
+        self.m_log_bq = np.asarray(fetched["m_log_bq"], np.float64)
+        self.n_mm_left = np.asarray(fetched["n_mm_left"], np.int64)
+        self.n_mm_right = np.asarray(fetched["n_mm_right"], np.int64)
+        self.num_mm = np.asarray(fetched["num_mm"], np.int64)
+        self.has_event = np.asarray(fetched["has_event"], bool)
+        self.any_mism = np.asarray(fetched["any_mism"], bool)
+        self._n_ind = np.asarray(fetched["n_ind"], np.int64)
+        self.cov_ok = np.asarray(fetched["cov_ok"], bool)
+
+    @property
+    def ll2d(self):
+        return self.ll.reshape(self.nh, self.nr)
+
+    @property
+    def off_hap2d(self):
+        return self.off_hap.reshape(self.nh, self.nr)
+
+    @property
+    def off_hap_hmq2d(self):
+        return self.off_hap_hmq.reshape(self.nh, self.nr)
+
+    def n_indel_entries_row(self, h: int) -> np.ndarray:
+        return self._n_ind[h * self.nr:(h + 1) * self.nr]
+
+    def __len__(self):
+        return self.nh
+
+    def __getitem__(self, h):
+        raise TypeError(
+            "LiksStats has no per-pair MLAlignments (map_state was not "
+            "fetched); use the full-decode path for per-pair consumers")
 
 
 def _expand_prior(pr: np.ndarray, Hh: int, H_pad: int) -> np.ndarray:

@@ -40,14 +40,14 @@ class LiksArrays:
     """(nh, nr) array views of the liks matrix fields the callers use."""
 
     def __init__(self, liks, haps, reads, params):
-        from ..hmm.batch import LiksView
+        from ..hmm.batch import LiksStats, LiksView
 
         nh, nr = len(haps), len(reads)
         self.nh, self.nr = nh, nr
         self.haps = haps
         self.pad = params.obs_params.pad_cover
         self._dicts = None
-        if isinstance(liks, LiksView):
+        if isinstance(liks, (LiksView, LiksStats)):
             self.ll = liks.ll2d
             self.off = liks.off_hap2d
             self.off_hmq = liks.off_hap_hmq2d
