@@ -41,8 +41,8 @@ from ..hmm.batch import (BatchedPairHMM, LiksStats, decode_liks_view,
 from ..infer.filterhaps import filter_haplotypes
 from ..infer.diploid import diploid_glf, _WindowThrow
 from ..infer.device_call import (build_call_tables, diploid_glf_dev,
-                                 filter_haplotypes_dev, pair_enum,
-                                 _window_call)
+                                 filter_haplotypes_dev, host_window_folds,
+                                 pair_enum, _window_call)
 from ..infer.pooled import estimate_hap_freqs_bayes_em
 from .reads import ReadBuffer, WindowError, get_reads
 from .window import WindowEngine
@@ -399,7 +399,7 @@ class BatchedWindowEngine(WindowEngine):
         vmax = max((len(e["ctab"]["slot_vars"][h])
                     for e in slab for h in range(len(e["haps"]))),
                    default=0)
-        V = _round_up(max(vmax, 1), 2)
+        V = max(2, 1 << (max(vmax, 1) - 1).bit_length())
         n_hap_rows = merged["hap_codes_h"].shape[0]
         v_left = np.zeros((n_hap_rows, V), np.int32)
         v_right = np.zeros((n_hap_rows, V), np.int32)
@@ -416,18 +416,19 @@ class BatchedWindowEngine(WindowEngine):
             row += nh
         vtab = dict(v_left_h=v_left, v_right_h=v_right,
                     v_isdel_h=v_isdel, v_valid_h=v_valid)
-        res = run_packed_compact_stats(
-            merged, self.dp_impl, vtab, p.obs_params.max_mismatch,
-            mesh=self.mesh)
 
         # per-window diploid read folds: scatter the slab's flat ll into
-        # a (W, NH, NR) tensor and fold in the reference's order
-        W = _round_up(len(slab), 8)
-        NH = max(len(e["haps"]) for e in slab)
+        # a (W, NH, NR) tensor and fold in the reference's order.
+        # Statics quantize COARSELY (pow2 W/NR/S, NH pinned to maxHap):
+        # every distinct combination is a fresh XLA compile of the fused
+        # program (~30 s cold through the axon tunnel), so bound the
+        # combination count hard.
+        W = max(8, 1 << (len(slab) - 1).bit_length())
+        NH = max(p.max_hap, max(len(e["haps"]) for e in slab))
         NR = max(len(e["reads"]) for e in slab)
         NR = max(64, 1 << (NR - 1).bit_length())
         S = max(len(e["ctab"]["var_positions"]) for e in slab)
-        S = _round_up(max(S, 1), 4)
+        S = max(4, 1 << (max(S, 1) - 1).bit_length())
         h1p, h2p = pair_enum(NH)
         NP = len(h1p)
         kmap_of = {}
@@ -462,11 +463,33 @@ class BatchedWindowEngine(WindowEngine):
             dest_w[off:] = dest_w[off - 1]
             dest_h[off:] = dest_h[off - 1]
             dest_r[off:] = dest_r[off - 1]
-        base, site = _window_call(
-            W, NH, S, NR, res["ll"], jnp.asarray(dest_w),
-            jnp.asarray(dest_h), jnp.asarray(dest_r), jnp.asarray(nr_w),
-            jnp.asarray(pair_pr))
-        return dict(stats=res, base=base, site=site, kmap_of=kmap_of)
+        # With x64 enabled (every parity/CPU configuration) the fold
+        # math runs on host so GLF bytes stay anchored to numpy/libm
+        # exp-rounding; the device fold serves TPU production (f32)
+        do_call = not jax.config.jax_enable_x64
+        if self.mesh is None:
+            # fused single-device program: 3 dispatches, 6 fetch leaves
+            from ..hmm.batch import run_slab_stats_fused
+            callmeta = dict(W=W, NH=NH, S=S, NR=NR, dest_w=dest_w,
+                            dest_h=dest_h, dest_r=dest_r, nr_w=nr_w,
+                            pair_pr=pair_pr)
+            packed = run_slab_stats_fused(
+                merged, self.dp_impl, vtab, callmeta,
+                p.obs_params.max_mismatch, do_call=do_call)
+            return dict(packed=packed, kmap_of=kmap_of, V=V,
+                        do_call=do_call)
+        res = run_packed_compact_stats(
+            merged, self.dp_impl, vtab, p.obs_params.max_mismatch,
+            mesh=self.mesh)
+        if do_call:
+            base, site = _window_call(
+                W, NH, S, NR, res["ll"], jnp.asarray(dest_w),
+                jnp.asarray(dest_h), jnp.asarray(dest_r),
+                jnp.asarray(nr_w), jnp.asarray(pair_pr))
+        else:
+            base = site = np.zeros(0)
+        return dict(stats=res, base=base, site=site, kmap_of=kmap_of,
+                    do_call=do_call)
 
     def _finish_slab(self, out, staged, fetched=None):
             """Blocking fetch (unless prefetched) + vectorized decode."""
@@ -509,10 +532,48 @@ class BatchedWindowEngine(WindowEngine):
     def _finish_slab_stats(self, out, slab, pks, fetched):
         """Device-call finish: slice the per-pair stat vectors and the
         per-window fold matrices; no map_state, no host decode."""
+        if "packed" in fetched:
+            f_plane, m_log_bq, i_plane, b_plane, base, site = [
+                np.asarray(a) for a in fetched["packed"]]
+            st = dict(ll=f_plane[:, 0], ll_off=f_plane[:, 1],
+                      ll_on=f_plane[:, 2], m_log_bq=m_log_bq,
+                      fb=i_plane[:, 0], lb=i_plane[:, 1],
+                      n_bqt=i_plane[:, 2], n_mm_bqt=i_plane[:, 3],
+                      n_mm_left=i_plane[:, 4], n_mm_right=i_plane[:, 5],
+                      num_mm=i_plane[:, 6], n_ind=i_plane[:, 7],
+                      off_hap=b_plane[:, 0], off_hap_hmq=b_plane[:, 1],
+                      has_event=b_plane[:, 2], any_mism=b_plane[:, 3],
+                      cov_ok=b_plane[:, 4:])
+            base = np.asarray(base, np.float64)
+            site = np.asarray(site, np.float64)
+            kmap_of = fetched["kmap_of"]
+            do_call = fetched["do_call"]
+            off = 0
+            with self.stats.stage("slab_decode"):
+                for w, (e, pk) in enumerate(zip(slab, pks)):
+                    B = pk["hap_len"].shape[0]
+                    sl = slice(off, off + B)
+                    view = LiksStats(e["haps"], e["reads"],
+                                     self.params.obs_params,
+                                     pk["read_len"], pk["hap_len"],
+                                     {k: v[sl] for k, v in st.items()})
+                    if do_call:
+                        kmap = kmap_of[e["index"]]
+                        ns = len(e["ctab"]["var_positions"])
+                        dev = dict(base=base[w][kmap],
+                                   site=site[w][:ns][:, kmap] if ns
+                                   else np.zeros((0, len(kmap))))
+                    else:
+                        hb, hs = host_window_folds(view.ll2d, e["ctab"])
+                        dev = dict(base=hb, site=hs)
+                    out[e["index"]] = ("dev", view, dev)
+                    off += B
+            return
         st = {k: np.asarray(v) for k, v in fetched["stats"].items()}
         base = np.asarray(fetched["base"], np.float64)
         site = np.asarray(fetched["site"], np.float64)
         kmap_of = fetched["kmap_of"]
+        do_call = fetched["do_call"]
         off = 0
         with self.stats.stage("slab_decode"):
             for w, (e, pk) in enumerate(zip(slab, pks)):
@@ -522,11 +583,15 @@ class BatchedWindowEngine(WindowEngine):
                                  self.params.obs_params,
                                  pk["read_len"], pk["hap_len"],
                                  {k: v[sl] for k, v in st.items()})
-                kmap = kmap_of[e["index"]]
-                ns = len(e["ctab"]["var_positions"])
-                dev = dict(base=base[w][kmap],
-                           site=site[w][:ns][:, kmap] if ns
-                           else np.zeros((0, len(kmap))))
+                if do_call:
+                    kmap = kmap_of[e["index"]]
+                    ns = len(e["ctab"]["var_positions"])
+                    dev = dict(base=base[w][kmap],
+                               site=site[w][:ns][:, kmap] if ns
+                               else np.zeros((0, len(kmap))))
+                else:
+                    hb, hs = host_window_folds(view.ll2d, e["ctab"])
+                    dev = dict(base=hb, site=hs)
                 out[e["index"]] = ("dev", view, dev)
                 off += B
 

@@ -754,6 +754,93 @@ def run_packed_compact(pk: dict, dp_impl: str = "xla",
         (pk["log_ins0"], pk["log_ins1"]), pk["scalars"])
 
 
+@partial(jax.jit, static_argnames=("H_pad", "L_pad", "numT", "V", "W",
+                                   "NH", "S", "NR", "exact_ties",
+                                   "bt_codes", "do_call"))
+def _finish_stats_call(H_pad, L_pad, numT, V, W, NH, S, NR, exact_ties,
+                       bt_codes, do_call,
+                       b_mid, alpha_mid, beta_mid, obs_mid, prior_rmq,
+                       prior_hmq, btf, btb, hap_len, read_len, read_idx,
+                       hap_idx, read_codes_r, hap_codes_h, bqt_r, q95_r,
+                       log10q_r, v_left_h, v_right_h, v_isdel_h,
+                       v_valid_h, dest_w, dest_h, dest_r, nr_w, pair_pr,
+                       max_mismatch):
+    """Fused finish + per-pair stats + per-window calling folds: ONE
+    device dispatch per slab after the DP kernel, with the results
+    packed into six fetch arrays (through the axon tunnel every extra
+    dispatch costs ~20 ms and every extra fetched leaf adds latency)."""
+    out = _finish(H_pad, L_pad, b_mid, alpha_mid, beta_mid, obs_mid,
+                  prior_rmq, prior_hmq, btf, btb, exact_ties=exact_ties,
+                  bt_codes=bt_codes, numT=numT, hap_len=hap_len)
+    ll, off_hap, off_hap_hmq, ll_off, ll_on, map_state = out
+    stats = _pair_stats(H_pad, L_pad, V, map_state, read_len, hap_len,
+                        read_idx, hap_idx, read_codes_r, hap_codes_h,
+                        bqt_r, q95_r, log10q_r, v_left_h, v_right_h,
+                        v_isdel_h, v_valid_h, off_hap_hmq, max_mismatch)
+    (fb, lb, n_bqt, n_mm_bqt, m_log_bq, n_mm_left, n_mm_right, num_mm,
+     has_event, any_mism, n_ind, cov_ok) = stats
+    if do_call:
+        base, site = _window_call(W, NH, S, NR, ll, dest_w, dest_h,
+                                  dest_r, nr_w, pair_pr)
+    else:
+        # folds are computed on host (exp/log rounding parity — see
+        # infer/device_call.host_window_folds); ship empty stubs
+        base = jnp.zeros((0,), pair_pr.dtype)
+        site = jnp.zeros((0,), pair_pr.dtype)
+    f_plane = jnp.stack([ll, ll_off, ll_on], axis=1)
+    i_plane = jnp.stack([fb, lb, n_bqt, n_mm_bqt, n_mm_left, n_mm_right,
+                         num_mm, n_ind], axis=1)
+    b_plane = jnp.concatenate(
+        [jnp.stack([off_hap, off_hap_hmq, has_event, any_mism], axis=1),
+         cov_ok], axis=1)
+    return f_plane, m_log_bq, i_plane, b_plane, base, site
+
+
+def run_slab_stats_fused(pk: dict, dp_impl: str, vtab: dict,
+                         callmeta: dict, max_mismatch: int,
+                         exact_ties: bool = None, do_call: bool = True):
+    """Single-device production slab program with device-side calling:
+    expand (1 dispatch) + DP (1) + fused finish/stats/call (1).  The DP
+    call sees the CONCRETE read_len/b_mid arrays so the pallas kernel
+    keeps its anchor-bounded static trip counts."""
+    if exact_ties is None:
+        exact_ties = (dp_impl == "xla")
+    dt = np.dtype(pk["eq_r"].dtype)
+    (read_codes, eq, uq, hap_codes, lpe, lpn, lpeV, lpnV,
+     prior_rmq, prior_hmq, obs_mid) = _expand_compact(
+        pk["H_pad"], pk["L_pad"], dt.str,
+        jnp.asarray(pk["read_codes_r"]), jnp.asarray(pk["eq_r"]),
+        jnp.asarray(pk["uq_r"]), jnp.asarray(pk["hap_codes_h"]),
+        jnp.asarray(pk["lpe_h"]), jnp.asarray(pk["lpn_h"]),
+        jnp.asarray(pk["lpeV_h"]), jnp.asarray(pk["lpnV_h"]),
+        jnp.asarray(pk["hap_idx"]), jnp.asarray(pk["read_idx"]),
+        jnp.asarray(pk["hap_len"]), jnp.asarray(pk["b_mid"]),
+        jnp.asarray(pk["log_off_r"]), jnp.asarray(pk["log_on_r"]),
+        (pk["log_off_hmq"], pk["log_on_hmq"]),
+        (pk["log_ins0"], pk["log_ins1"]))
+    dp = get_dp_impl(dp_impl)
+    alpha_mid, beta_mid, btf, btb = dp(
+        pk["H_pad"], pk["L_pad"], pk["numT"], jnp.asarray(pk["hap_len"]),
+        pk["read_len"], pk["b_mid"], read_codes, hap_codes, eq, uq,
+        lpe, lpn, lpeV, lpnV, pk["scalars"])
+    cm = callmeta
+    return _finish_stats_call(
+        pk["H_pad"], pk["L_pad"], pk["numT"],
+        vtab["v_left_h"].shape[1], cm["W"], cm["NH"], cm["S"], cm["NR"],
+        exact_ties, dp_impl == "pallas", do_call,
+        jnp.asarray(pk["b_mid"]), alpha_mid, beta_mid, obs_mid,
+        prior_rmq, prior_hmq, btf, btb, jnp.asarray(pk["hap_len"]),
+        jnp.asarray(pk["read_len"]), jnp.asarray(pk["read_idx"]),
+        jnp.asarray(pk["hap_idx"]), jnp.asarray(pk["read_codes_r"]),
+        jnp.asarray(pk["hap_codes_h"]), jnp.asarray(pk["bqt_r"]),
+        jnp.asarray(pk["q95_r"]), jnp.asarray(pk["log10q_r"]),
+        jnp.asarray(vtab["v_left_h"]), jnp.asarray(vtab["v_right_h"]),
+        jnp.asarray(vtab["v_isdel_h"]), jnp.asarray(vtab["v_valid_h"]),
+        jnp.asarray(cm["dest_w"]), jnp.asarray(cm["dest_h"]),
+        jnp.asarray(cm["dest_r"]), jnp.asarray(cm["nr_w"]),
+        jnp.asarray(cm["pair_pr"]), jnp.asarray(np.int32(max_mismatch)))
+
+
 def run_packed_compact_stats(pk: dict, dp_impl: str, vtab: dict,
                              max_mismatch: int, exact_ties: bool = None,
                              mesh=None, want_map_state: bool = False):
@@ -834,34 +921,38 @@ def run_packed_compact_sharded(pk: dict, dp_impl: str, mesh,
     pairs = tuple(jnp.asarray(padpairs(np.asarray(pk[k])))
                   for k in ("hap_idx", "read_idx", "hap_len", "read_len",
                             "b_mid"))
+    scalars_np = np.asarray(pk["scalars"])
     key = (id(mesh), pk["H_pad"], pk["L_pad"], pk["numT"], dt.str, dp_impl,
            exact_ties, pk["log_off_hmq"], pk["log_on_hmq"],
-           pk["log_ins0"], pk["log_ins1"])
+           pk["log_ins0"], pk["log_ins1"],
+           tuple(float(x) for x in scalars_np))
     fn = _SHARDED_CACHE.get(key)
     if fn is None:
         hmq_consts = (pk["log_off_hmq"], pk["log_on_hmq"])
         ins_consts = (pk["log_ins0"], pk["log_ins1"])
 
-        def body(tables_, pairs_, scalars):
+        def body(tables_, pairs_):
             (rc_r, eq_r, uq_r, hc_h, lpe_h, lpn_h, lpeV_h, lpnV_h,
              lor, lonr) = tables_
             hap_idx, read_idx, hap_len, read_len, b_mid = pairs_
+            # scalars captured concrete so the pallas path can bake them
+            # into its static kernel key
             return _compact_core(
                 pk["H_pad"], pk["L_pad"], pk["numT"], dt.str, dp_impl,
                 exact_ties, rc_r, eq_r, uq_r, hc_h, lpe_h, lpn_h, lpeV_h,
                 lpnV_h, hap_idx, read_idx, hap_len, read_len, b_mid,
-                lor, lonr, hmq_consts, ins_consts, scalars)
+                lor, lonr, hmq_consts, ins_consts, scalars_np)
 
         axes = tuple(mesh.axis_names)
         pair_spec = P(axes)
         sm = shard_map(
             body, mesh=mesh,
-            in_specs=((P(),) * 10, (pair_spec,) * 5, P()),
+            in_specs=((P(),) * 10, (pair_spec,) * 5),
             out_specs=(pair_spec,) * 6,
             check_rep=False)
         fn = jax.jit(sm)
         _SHARDED_CACHE[key] = fn
-    out = fn(tables, pairs, jnp.asarray(pk["scalars"]))
+    out = fn(tables, pairs)
     if Bp != B:
         out = tuple(o[:B] for o in out)
     return out

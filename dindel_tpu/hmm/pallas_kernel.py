@@ -41,6 +41,10 @@ NEGBIG = -1.0e30
 # 256 exceeds the 16MB scoped-VMEM limit.  Outputs are bit-identical
 # across TB (verified on hardware).
 TB_DEFAULT = 128
+# When True, every dp_pallas call runs in interpret mode regardless of
+# the caller's flag — used by CI to execute the shipped TPU kernel
+# configuration (pallas + fast ties + f32) on CPU.
+FORCE_INTERPRET = False
 # Default invariant-hoisting mode (see _make_kernel docstring); A/B'd on
 # hardware with tools/ab_hoist.py.
 HOIST_DEFAULT = "all"
@@ -436,6 +440,10 @@ def dp_pallas(H_pad, L_pad, numT,
     two (pad rows replicate the last pair).  All of these only ADD dead
     work — outputs over the real pairs are unchanged."""
     del lpeV, lpnV
+    if FORCE_INTERPRET:
+        # CI hook: lets the engine/mesh tests execute the exact
+        # production pallas configuration on CPU (interpret mode)
+        interpret = True
     TB = TB_DEFAULT if tb is None else int(tb)
     B = hap_len.shape[0]
     SP = H_pad + 2

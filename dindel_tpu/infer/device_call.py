@@ -263,6 +263,39 @@ def _window_call(W, NH, S, NR, ll, dest_w, dest_h, dest_r, nr_w, pair_pr):
     return base, site
 
 
+def host_window_folds(ll2d: np.ndarray, ctab: dict):
+    """The same folds as _window_call, on host with the anchor caller's
+    exact numpy ops.
+
+    Why both exist: XLA's and numpy's float64 exp/log can differ by an
+    ulp on ~10% of inputs, which occasionally leaks through
+    log(1+exp(x)) into the 6th printed GLF digit.  The byte-parity
+    contract (test_callers_ref / golden fixtures) is anchored on the
+    numpy/libm side, so whenever x64 is enabled (every parity and CPU
+    configuration) the engine uses these host folds; the device fold
+    runs in f32 on TPU production where no byte contract applies.
+    tests/test_device_call.py::test_window_call_matches_host_folds pins
+    the two to ~1e-9."""
+    h1v, h2v = ctab["h1v"], ctab["h2v"]
+    ll = np.asarray(ll2d, np.float64)
+    nr = ll.shape[1]
+    log5 = math.log(0.5)
+    a = ll[h1v, :]
+    b = ll[h2v, :]
+    m = np.maximum(a, b)
+    mn = np.minimum(a, b)
+    T = log5 + (m + np.log(1.0 + np.exp(mn - m)))
+    base = (np.cumsum(T, axis=1)[:, -1] if nr
+            else np.zeros(len(h1v)))
+    S = len(ctab["var_positions"])
+    site = np.zeros((S, len(h1v)))
+    for s in range(S):
+        site[s] = np.cumsum(
+            np.concatenate([ctab["pair_pr"][s][None, :], T.T], axis=0),
+            axis=0)[-1]
+    return base, site
+
+
 # ---------------------------------------------------------------------------
 # Host-side filter replica over device coverage
 

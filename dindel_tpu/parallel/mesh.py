@@ -224,3 +224,25 @@ def dryrun_multichip(n_devices: int) -> None:
     assert ll.shape == (W, nh, nr_pad)
     assert G.shape == (W, nh, nh)
     assert bool(jnp.isfinite(G).all())
+
+    # 3. the SHIPPED kernel configuration under the mesh: pallas
+    #    (interpret mode off-TPU) + fast ties + f32, sharded vs single
+    #    device — the exact multi-chip production path
+    #    (--hmmBackend pallas --mesh)
+    import dindel_tpu.hmm.pallas_kernel as pallas_kernel
+    on_tpu = jax.devices()[0].platform == "tpu"
+    old = pallas_kernel.FORCE_INTERPRET
+    pallas_kernel.FORCE_INTERPRET = not on_tpu
+    try:
+        pksp = [pack_pairs_compact(haps, reads, hs, params, np.float32,
+                                   H_pad=126, L_pad=128)
+                for haps, reads, hs in windows]
+        mergedp = pad_compact(merge_compact(pksp))
+        refp = [np.asarray(o) for o in run_packed_compact(mergedp, "pallas")]
+        gotp = [np.asarray(o)
+                for o in run_packed_compact_sharded(mergedp, "pallas", mesh)]
+        for a, b in zip(refp, gotp):
+            assert a.shape == b.shape and (a == b).all(), \
+                "sharded pallas slab step diverged from single-device"
+    finally:
+        pallas_kernel.FORCE_INTERPRET = old

@@ -104,6 +104,45 @@ def test_device_call_small_batches(tmp_path):
     assert glf_h == glf_d
 
 
+def test_window_call_matches_host_folds():
+    """The on-device fold (TPU production path) agrees with the host
+    anchor folds to float64 exp-rounding noise (~1e-9 relative); exact
+    equality is not required because XLA and numpy exp/log differ by an
+    ulp on some inputs (see host_window_folds docstring)."""
+    import math
+    import jax.numpy as jnp
+    from dindel_tpu.infer.device_call import (host_window_folds,
+                                              pair_enum, _window_call)
+
+    rng = np.random.RandomState(0)
+    nh, nr, S = 4, 37, 3
+    ll = -rng.gamma(2.0, 40.0, size=(nh, nr)).astype(np.float32)
+    h1v, h2v = pair_enum(nh)
+    np_pair = len(h1v)
+    pair_pr = -rng.rand(S, np_pair) * 10
+    ctab = dict(h1v=h1v, h2v=h2v, pair_pr=pair_pr,
+                var_positions=list(range(S)))
+    hb, hs = host_window_folds(ll, ctab)
+
+    W, NH, NR = 8, nh, 64
+    B = nh * nr
+    dest_w = np.zeros(B, np.int32)
+    dest_h = np.repeat(np.arange(nh, dtype=np.int32), nr)
+    dest_r = np.tile(np.arange(nr, dtype=np.int32), nh)
+    nr_w = np.zeros(W, np.int32)
+    nr_w[0] = nr
+    pp = np.zeros((W, 4, np_pair))
+    pp[0, :S] = pair_pr
+    base, site = _window_call(W, NH, 4, NR, jnp.asarray(ll.ravel()),
+                              jnp.asarray(dest_w), jnp.asarray(dest_h),
+                              jnp.asarray(dest_r), jnp.asarray(nr_w),
+                              jnp.asarray(pp))
+    np.testing.assert_allclose(np.asarray(base)[0], hb, rtol=1e-12,
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(site)[0, :S], hs, rtol=1e-12,
+                               atol=1e-8)
+
+
 def test_pair_stats_matches_liks_view():
     """Unit parity of the device per-pair stats vs the host decode
     (LiksView) on synthetic windows."""

@@ -2,6 +2,7 @@
 
 import jax
 import numpy as np
+import pytest
 
 
 def test_dryrun_multichip():
@@ -22,11 +23,13 @@ def test_entry_jits():
     assert np.isfinite(ll).all()
 
 
-def test_engine_sharded_step_bit_equal(tmp_path):
+@pytest.mark.parametrize("dtype", [np.float64, np.float32])
+def test_engine_sharded_step_bit_equal(tmp_path, dtype):
     """The PRODUCTION engine under --mesh must produce byte-identical GLF
     output to the single-device engine on realistic windows (the sharded
     slab step is the same expand/DP/finish per pair; pair-axis sharding
-    and padding must be invisible)."""
+    and padding must be invisible).  Covers the f32 configuration a real
+    pod would run as well as the f64 parity configuration."""
     from dindel_tpu.config import Parameters
     from dindel_tpu.engine.batched import BatchedWindowEngine
     from dindel_tpu.engine.candidates import get_candidates
@@ -49,7 +52,7 @@ def test_engine_sharded_step_bit_equal(tmp_path):
         params.estimate_hap_freqs = True
         params.file_name = str(tmp_path / name)
         eng = BatchedWindowEngine([bam], fa, params, batch_windows=8,
-                                  dp_impl="xla", dtype=np.float64,
+                                  dp_impl="xla", dtype=dtype,
                                   mesh=mesh)
         glf = str(tmp_path / f"{name}.glf.txt")
         eng.detect_indels(win_files[0], glf)
