@@ -104,6 +104,17 @@ class ReadBuffer:
 LEFTPAD = 200  # DInDel.cpp:917
 
 
+def _u32(x: int) -> int:
+    """uint32_t wrap: the reference computes the fetch window coordinates
+    in uint32 (DInDel.cpp:921-925), so leftPos - maxInsertSize - LEFTPAD
+    WRAPS for windows within ~(maxInsertSize+200)bp of the contig start.
+    The wrapped (huge) left bound then fails the `leftFetch <= rightFetch`
+    guard — no reads are fetched and the window errors with
+    too_few_reads.  The contig-start dead zone is load-bearing for
+    output equality with the reference binary (tests/test_reads_ref.py)."""
+    return x & 0xFFFFFFFF
+
+
 def get_reads(bams: List[BamReader], tid: str, left_pos: int, right_pos: int,
               params: Parameters, libraries: LibraryCollection,
               buf: ReadBuffer, impl: str = "arena") -> List[Read]:
@@ -131,8 +142,8 @@ def get_reads(bams: List[BamReader], tid: str, left_pos: int, right_pos: int,
     max_dev = int(libraries.get_max_insert_size())
     right_fetch = right_pos + max_dev
     right_most = right_pos + max_dev
-    left_fetch = left_pos - max_dev - LEFTPAD
-    left_most = left_pos - max_dev - LEFTPAD
+    left_fetch = _u32(left_pos - max_dev - LEFTPAD)
+    left_most = _u32(left_pos - max_dev - LEFTPAD)
 
     rg2libs = [b.header.rg_to_library() for b in bams]
 
@@ -259,8 +270,14 @@ def get_reads(bams: List[BamReader], tid: str, left_pos: int, right_pos: int,
         if filt:
             r.map_qual = -1.0
 
-    # stable sort by decreasing mapQual, cap maxReads (DInDel.cpp:1218-1226)
-    reads.sort(key=lambda r: -r.map_qual)
+    # sort by decreasing mapQual with the reference's exact (UNSTABLE
+    # libstdc++ introsort) tie permutation, cap maxReads
+    # (DInDel.cpp:1218-1226; see engine/std_sort.py)
+    from .std_sort import mapqual_sort_order
+    import numpy as _np
+    order = mapqual_sort_order(
+        _np.fromiter((r.map_qual for r in reads), _np.float64, len(reads)))
+    reads = [reads[int(i)] for i in order]
     filtered: List[Read] = []
     for r in reads:
         if len(filtered) >= params.max_reads:
@@ -305,8 +322,8 @@ def _get_reads_arena(bams, tid: str, left_pos: int, right_pos: int,
     max_dev = int(libraries.get_max_insert_size())
     right_fetch = right_pos + max_dev
     right_most = right_pos + max_dev
-    left_fetch = left_pos - max_dev - LEFTPAD
-    left_most = left_pos - max_dev - LEFTPAD
+    left_fetch = _u32(left_pos - max_dev - LEFTPAD)
+    left_most = _u32(left_pos - max_dev - LEFTPAD)
 
     rg2libs = [b.header.rg_to_library() for b in bams]
 
@@ -562,9 +579,12 @@ def _cascade_core(cols: dict, left_pos: int, right_pos: int,
 
     mq_new[filt] = -1.0
 
-    # stable sort by decreasing mapQual, cap maxReads (DInDel.cpp:1218-1226)
+    # sort by decreasing mapQual with the reference's exact (UNSTABLE
+    # libstdc++ introsort) tie permutation, cap maxReads
+    # (DInDel.cpp:1218-1226; see engine/std_sort.py)
+    from .std_sort import mapqual_sort_order
     min_map_qual = max(params.map_qual_threshold, 0.0)
-    order = np.argsort(-mq_new, kind="stable")
+    order = mapqual_sort_order(mq_new)
     sorted_mq = mq_new[order]
     below = sorted_mq < min_map_qual
     cut = int(np.argmax(below)) if below.any() else n

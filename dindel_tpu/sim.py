@@ -192,6 +192,13 @@ class SimConfig:
     # fraction of ALT-carrying second mates emitted as unmapped (placed at
     # the mate position, empty CIGAR) to exercise --libFile realignment
     unmapped_frac: float = 0.0
+    # Fixed-sequence pad PREPENDED to the reference: the caller's fetch
+    # window math runs in uint32 (DInDel.cpp:921-925; engine/reads._u32),
+    # so windows within ~(maxInsertSize+200)bp of the contig start fall
+    # in a dead zone and error with too_few_reads.  Planted variants and
+    # reported positions shift by exactly start_pad; their local sequence
+    # context (and thus left-alignment) is unchanged.
+    start_pad: int = 2432
 
 
 def simulate(path_prefix: str, variants: List[PlantedVariant],
@@ -203,6 +210,11 @@ def simulate(path_prefix: str, variants: List[PlantedVariant],
     rng = random.Random(seed)
     if ref is None:
         ref = random_ref(rng, cfg.ref_len)
+    if cfg.start_pad:
+        pad = random_ref(random.Random(987654321), cfg.start_pad)
+        ref = pad + ref
+        variants = [PlantedVariant(pos=v.pos + cfg.start_pad, var=v.var,
+                                   genotype=v.genotype) for v in variants]
     fa_path = path_prefix + ".fa"
     write_fasta(fa_path, {cfg.tid_name: ref})
 

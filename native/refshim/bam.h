@@ -82,23 +82,35 @@ static inline uint32_t bam_calend(const bam1_core_t *c, const uint32_t *cigar) {
     return end;
 }
 
-/* "Opening" returns inert dummies (no record can ever be fetched through
- * them — bam_fetch still aborts); this lets differential-test drivers
- * construct a DetInDel whose MyBam members are never actually read. */
+/* "Opening" returns inert dummies; this lets differential-test drivers
+ * construct a DetInDel whose MyBam members are never actually read.
+ * Drivers that need REAL record delivery (getReads differential
+ * testing) install the weak hooks below: bam_stub_fetch replays
+ * synthetic records, bam_stub_header supplies a header with targets. */
+typedef int (*bam_fetch_f)(const bam1_t *b, void *data);
+__attribute__((weak)) int (*bam_stub_fetch)(int tid, int beg, int end, void *data, bam_fetch_f func) = 0;
+__attribute__((weak)) bam_header_t *bam_stub_header = 0;
+
 static inline bamFile bam_open(const char *fn, const char *mode) { (void)fn; (void)mode; return (bamFile)malloc(1); }
 static inline void bam_close(bamFile f) { free(f); }
-static inline bam_header_t *bam_header_read(bamFile f) { (void)f; return (bam_header_t*)calloc(1, sizeof(bam_header_t)); }
-static inline void bam_header_destroy(bam_header_t *h) { free(h); }
+static inline bam_header_t *bam_header_read(bamFile f) { (void)f; if (bam_stub_header) return bam_stub_header; return (bam_header_t*)calloc(1, sizeof(bam_header_t)); }
+static inline void bam_header_destroy(bam_header_t *h) { if (h != bam_stub_header) free(h); }
 static inline bam_index_t *bam_index_load(const char *fn) { (void)fn; return (bam_index_t*)calloc(1, sizeof(bam_index_t)); }
 static inline void bam_index_destroy(bam_index_t *i) { free(i); }
-typedef int (*bam_fetch_f)(const bam1_t *b, void *data);
 static inline int bam_fetch(bamFile f, const bam_index_t *idx, int tid, int beg, int end, void *data, bam_fetch_f func) {
-    (void)f; (void)idx; (void)tid; (void)beg; (void)end; (void)data; (void)func; abort(); return 0;
+    (void)f; (void)idx;
+    if (bam_stub_fetch) return bam_stub_fetch(tid, beg, end, data, func);
+    abort(); return 0;
 }
 static inline int bam_write1(bamFile f, const bam1_t *b) { (void)f; (void)b; abort(); return 0; }
 static inline int bam_header_write(bamFile f, const bam_header_t *h) { (void)f; (void)h; abort(); return 0; }
 static inline bam1_t *bam_init1(void) { return (bam1_t*)calloc(1, sizeof(bam1_t)); }
 static inline void bam_destroy1(bam1_t *b) { if (b) { free(b->data); free(b); } }
-static inline const char *bam_get_library(bam_header_t *h, const bam1_t *b) { (void)h; (void)b; return 0; }
+__attribute__((weak)) const char *(*bam_stub_get_library)(const bam1_t *b) = 0;
+static inline const char *bam_get_library(bam_header_t *h, const bam1_t *b) {
+    (void)h;
+    if (bam_stub_get_library) return bam_stub_get_library(b);
+    (void)b; return 0;
+}
 
 #endif

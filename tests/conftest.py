@@ -81,6 +81,21 @@ def ref_callers_exe():
         extra=["-w", "-fpermissive", "-I", "/root/reference/seqan_library"])
 
 
+def ref_getreads_exe():
+    """Build (if possible) the DetInDel::getReads differential driver
+    (whole DInDel.cpp behind the stub headers, with the bam.h fetch hook
+    replaying synthetic bam1_t records)."""
+    if not Path("/root/reference/DInDel.cpp").exists():
+        return None
+    return _build(
+        "ref_getreads",
+        [REFSHIM / "getreads_driver.cpp", "/root/reference/DInDel.cpp",
+         "/root/reference/ObservationModelFB.cpp",
+         "/root/reference/HaplotypeDistribution.cpp",
+         "/root/reference/HapBlock.cpp", "/root/reference/Faster.cpp"],
+        extra=["-w", "-fpermissive", "-I", "/root/reference/seqan_library"])
+
+
 def ref_faster_exe():
     """Build (if possible) the reference sparse-HMM (--faster)
     differential driver."""

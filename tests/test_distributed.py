@@ -115,9 +115,9 @@ def test_two_process_distributed(tmp_path):
     # both planted het indels called across the two hosts' shards, with
     # the exact genotype
     dels = [r for r in recs
-            if abs(int(r[1]) - 700) <= 6 and len(r[3]) > len(r[4])]
+            if abs(int(r[1]) - 3132) <= 6 and len(r[3]) > len(r[4])]
     inss = [r for r in recs
-            if abs(int(r[1]) - 2100) <= 6 and len(r[4]) > len(r[3])]
+            if abs(int(r[1]) - 4532) <= 6 and len(r[4]) > len(r[3])]
     assert dels and dels[0][9].split(":")[0] == "0/1", vcf
     assert inss and inss[0][9].split(":")[0] == "0/1", vcf
 

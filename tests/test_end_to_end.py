@@ -68,18 +68,18 @@ def test_diploid_end_to_end(tmp_path, backend):
     # Exact reference convention (mergeOutputDiploid.py:62,153): VCF POS is
     # the 0-based realigned position printed as the 1-based coordinate of
     # the anchor base, REF fetched starting at that anchor.  The planted
-    # -ACG at 0-based 700 left-aligns into the G-run at 696 (anchor A@695);
-    # the +TT stays at 1400 (anchor A@1399).
+    # -ACG at 0-based 3132 left-aligns into the G-run at 3128;
+    # the +TT stays at 3832.
     del_calls = [r for r in recs if len(r["ref"]) > len(r["alt"])]
     ins_calls = [r for r in recs if len(r["alt"].split(",")[0]) > len(r["ref"])]
     assert del_calls, recs
     assert ins_calls, recs
     dc = del_calls[0]
     assert (dc["pos"], dc["ref"], dc["alt"], dc["gt"]) == \
-        (696, "AGGG", "A", "0/1"), dc
+        (3128, "AGGG", "A", "0/1"), dc
     ic = ins_calls[0]
     assert (ic["pos"], ic["ref"], ic["alt"], ic["gt"]) == \
-        (1400, "A", "ATT", "0/1"), ic
+        (3832, "A", "ATT", "0/1"), ic
 
 
 def test_hom_deletion(tmp_path):

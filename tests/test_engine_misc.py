@@ -39,11 +39,15 @@ def run_engine(sim, params, bams=None, backend="oracle"):
 def test_multi_bam_pooled(sim):
     # second sample: same reference, distinct read names
     from dindel_tpu.io.fasta import FastaFile
+    # the fetched reference already carries the simulator's start_pad, so
+    # build the second sample with start_pad=0 and pre-shifted positions
     ref = FastaFile(sim["fa"]).get_sequence("1", 1, 10**9)
     cfg2 = SimConfig(ref_len=len(ref), coverage=18, read_len=70,
-                     qname_prefix="s")
+                     qname_prefix="s", start_pad=0)
+    pad = SimConfig().start_pad
     _, bam2 = simulate(str(sim["tmp"] / "sim2"),
-                       [PlantedVariant(pos=600, var="-TG", genotype=1)],
+                       [PlantedVariant(pos=600 + pad, var="-TG",
+                                       genotype=1)],
                        cfg2, seed=31, ref=ref)
     params = Parameters()
     params.estimate_hap_freqs = True
@@ -74,8 +78,10 @@ def test_error_rows(sim, tmp_path):
     # a window with no reads -> too_few_reads error row, engine continues
     win = tmp_path / "badwin.txt"
     with open(win, "w") as f:
-        f.write("1 100 300 200,-TG\n")        # region with few reads at edge? use far region
-        f.write("1 540 720 600,-TG\n")        # the real window
+        # contig-start dead zone (uint32 fetch wrap): too_few_reads row
+        f.write("1 100 300 200,-TG\n")
+        # the real window around the planted variant (600 + start_pad)
+        f.write("1 2972 3152 3032,-TG\n")
     params = Parameters()
     params.do_diploid = True
     params.file_name = str(tmp_path / "err")

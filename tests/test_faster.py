@@ -151,6 +151,6 @@ def test_faster_end_to_end_diploid(tmp_path):
     recs = [l.split("\t") for l in open(vcf) if not l.startswith("#")]
     # planted -ACG at 700 left-aligns into the GGG run at 696
     hits = [r for r in recs
-            if abs(int(r[1]) - 700) <= 6 and len(r[3]) - len(r[4]) == 3]
+            if abs(int(r[1]) - 3132) <= 6 and len(r[3]) - len(r[4]) == 3]
     assert hits, open(vcf).read()
     assert hits[0][9].split(":")[0] in ("0/1", "1/0")

@@ -72,10 +72,11 @@ def test_pooled_multibam_to_vcf(tmp_path):
     recs = [l.rstrip("\n").split("\t") for l in open(vcf_path)
             if not l.startswith("#")]
     assert recs
-    # the -CT at 0-based 650: VCF POS 650 (1-based anchor at 0-based 649)
+    # the -CT planted at 650 (+start_pad): VCF POS is the 1-based anchor
+    P = cfg.start_pad
     by_pos = {int(r[1]): r for r in recs}
-    assert 650 in by_pos, recs
-    rec = by_pos[650]
+    assert 650 + P in by_pos, recs
+    rec = by_pos[650 + P]
     assert len(rec[3]) == len(rec[4]) + 2          # REF/ALT encode a 2bp del
     ref_fa = ref[649:649 + len(rec[3])]
     assert rec[3] == ref_fa                        # REF matches the FASTA
@@ -94,7 +95,7 @@ def test_pooled_multibam_to_vcf(tmp_path):
     # one row per (site, pool): tid pos var l00 l01 l11 bam
     assert all(len(t) == 7 for t in gl_lines)
     assert {t[6] for t in gl_lines} == set(bams)
-    site_rows = [t for t in gl_lines if t[1] == "650"]
+    site_rows = [t for t in gl_lines if t[1] == str(650 + P)]
     assert len(site_rows) == 4
     # the carrier pool's data must favor 0/1 over 0/0 more strongly than
     # any non-carrier pool does
