@@ -21,8 +21,9 @@ _spec = importlib.util.spec_from_file_location(
     os.path.join(os.path.dirname(__file__), "golden", "pipeline.py"))
 _mod = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(_mod)
-GOLDEN_DIR, normalize_vcf, run_pipeline = (
-    _mod.GOLDEN_DIR, _mod.normalize_vcf, _mod.run_pipeline)
+GOLDEN_DIR, normalize_vcf, run_pipeline, run_pooled_pipeline = (
+    _mod.GOLDEN_DIR, _mod.normalize_vcf, _mod.run_pipeline,
+    _mod.run_pooled_pipeline)
 
 
 def test_golden_diploid_pipeline(tmp_path):
@@ -33,3 +34,16 @@ def test_golden_diploid_pipeline(tmp_path):
     want_vcf = open(os.path.join(GOLDEN_DIR, "diploid.vcf")).read()
     assert got_glf == want_glf
     assert got_vcf == want_vcf
+
+
+def test_golden_pooled_pipeline(tmp_path):
+    """Pins the pooled deliverable byte-for-byte: per-BAM GLF, merged
+    sites VCF (all mergeOutputPooled filters), and the per-sample GL
+    join (VERDICT r3 missing #3)."""
+    glf, vcf, gl = run_pooled_pipeline(str(tmp_path))
+    assert open(glf).read() == open(
+        os.path.join(GOLDEN_DIR, "pooled.glf.txt")).read()
+    assert normalize_vcf(open(vcf).read()) == open(
+        os.path.join(GOLDEN_DIR, "pooled.vcf")).read()
+    assert open(gl).read() == open(
+        os.path.join(GOLDEN_DIR, "pooled.gl.txt")).read()
