@@ -164,7 +164,7 @@ def main():
     if baseline is None:
         baseline = DEFAULT_BASELINE_CELLS_PER_SEC
 
-    print(json.dumps({
+    record = {
         "metric": "pairhmm_cells_per_sec",
         "value": cells_per_sec,
         "unit": "cells/s",
@@ -176,7 +176,85 @@ def main():
         "timing": "value=steady-state (K=%d on-device chained calls, "
                   "best-of-%d); baseline=mean-of-5 subprocess runs "
                   "incl. spawn" % (K, rounds),
-    }))
+    }
+    # the driver records the LAST JSON line: print the kernel metric now
+    # so it survives even if the end-to-end section below is cut short
+    print(json.dumps(record), flush=True)
+
+    # ---- end-to-end windows/s (the product metric; BASELINE.md names
+    # ~2-3 windows/s/core for the reference) ----
+    try:
+        wrec = bench_windows_e2e()
+    except Exception as e:  # never lose the kernel metric
+        wrec = {"windows_error": repr(e)[:200]}
+    record.update(wrec)
+    print(json.dumps(record), flush=True)
+
+
+def bench_windows_e2e(n_var=60, coverage=30):
+    """Warm windows/s through the full batched engine (sim ->
+    getCIGARindels -> makeWindows -> engine -> GLF), cold pass first
+    (compiles persist in the jax compilation cache across rounds)."""
+    import tempfile
+    import numpy as np
+    import jax
+    from pathlib import Path as _P
+    from dindel_tpu.config import Parameters
+    from dindel_tpu.engine.candidates import get_candidates
+    from dindel_tpu.engine.batched import BatchedWindowEngine
+    from dindel_tpu.engine.stats import RunStats
+    from dindel_tpu.pipeline.windows import make_windows
+    from dindel_tpu.sim import PlantedVariant, SimConfig, simulate
+
+    rng = np.random.RandomState(7)
+    spacing = 900
+    ref_len = (n_var + 2) * spacing
+    variants = []
+    for i in range(n_var):
+        pos = (i + 1) * spacing
+        kind = rng.randint(3)
+        if kind == 0:
+            var = "-" + "ACGT"[rng.randint(4)] * rng.randint(1, 4)
+        elif kind == 1:
+            var = "+" + "".join("ACGT"[rng.randint(4)]
+                                for _ in range(rng.randint(1, 4)))
+        else:
+            var = "-AC"
+        variants.append(PlantedVariant(pos=pos, var=var,
+                                       genotype=1 + rng.randint(2)))
+    d = tempfile.mkdtemp(prefix="benchwin")
+    cfg = SimConfig(ref_len=ref_len, coverage=coverage, read_len=100)
+    fa, bam = simulate(str(_P(d) / "sim"), variants, cfg, seed=3)
+    var_file, _ = get_candidates(bam, str(_P(d) / "cand"), fa)
+    win_files = make_windows(var_file, str(_P(d) / "win"))
+    on_tpu = jax.devices()[0].platform != "cpu"
+    params = Parameters()
+    params.do_diploid = True
+    params.file_name = str(_P(d) / "out")
+    eng = BatchedWindowEngine([bam], fa, params,
+                              dp_impl="pallas" if on_tpu else "xla",
+                              dtype=np.float32)
+    t0 = time.perf_counter()
+    for wf in win_files:
+        eng.detect_indels(wf, str(_P(d) / "out.glf.txt"))
+    cold_s = time.perf_counter() - t0
+    eng.stats = RunStats()
+    t0 = time.perf_counter()
+    for wf in win_files:
+        eng.detect_indels(wf, str(_P(d) / "out.glf.txt"))
+    dt = time.perf_counter() - t0
+    s = eng.stats.summary()
+    eng.close()
+    wps = s["windows_ok"] / dt if dt > 0 else 0.0
+    return {
+        "windows_per_sec": wps,
+        "windows_vs_ref_core": wps / 2.5,  # BASELINE.md ~2-3 w/s/core
+        "windows_ok": s["windows_ok"],
+        "windows_wall_s": round(dt, 3),
+        "windows_cold_wall_s": round(cold_s, 3),
+        "windows_stage_seconds": {k: round(v, 3) for k, v in
+                                  s.get("stage_seconds", {}).items()},
+    }
 
 
 if __name__ == "__main__":

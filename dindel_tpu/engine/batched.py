@@ -606,6 +606,16 @@ class BatchedWindowEngine(WindowEngine):
         while the main thread may be uploading the next batch's slabs,
         violating the fetch-vs-upload tunnel discipline — accepted for
         this rare fault path (correct, just slow when it triggers)."""
+        import sys
+        import traceback
+        with self.stats.lock:
+            self.stats.stage_seconds["slab_rescues"] = (
+                self.stats.stage_seconds.get("slab_rescues", 0.0) + 1)
+        if not getattr(self, "_rescue_reported", False):
+            self._rescue_reported = True
+            print("WARNING: slab device phase failed; per-window rescue "
+                  "engaged. First cause:", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
         for e in slab:
             try:
                 liks, _on_hap = self.compute_likelihoods(

@@ -711,19 +711,25 @@ def _compact_core(H_pad, L_pad, numT, dt_str, dp_impl, exact_ties,
                   read_codes_r, eq_r, uq_r, hap_codes_h, lpe_h, lpn_h,
                   lpeV_h, lpnV_h, hap_idx, read_idx, hap_len, read_len,
                   b_mid, log_off_r, log_on_r, hmq_consts, ins_consts,
-                  scalars):
+                  scalars, dp_statics=None):
     """Compact-slab compute body: device-side expansion + DP + finish.
     Shared between the single-device path and the shard_map'ed mesh path
-    (where it runs per shard on the local pair slice)."""
+    (where it runs per shard on the local pair slice; dp_statics carries
+    the concrete (L_act, MB, MN) the pallas kernel cannot introspect
+    from traced arrays there)."""
     (read_codes, eq, uq, hap_codes, lpe, lpn, lpeV, lpnV,
      prior_rmq, prior_hmq, obs_mid) = _expand_compact(
         H_pad, L_pad, dt_str, read_codes_r, eq_r, uq_r, hap_codes_h,
         lpe_h, lpn_h, lpeV_h, lpnV_h, hap_idx, read_idx, hap_len, b_mid,
         log_off_r, log_on_r, hmq_consts, ins_consts)
     dp = get_dp_impl(dp_impl)
+    dp_kw = {}
+    if dp_impl == "pallas" and dp_statics is not None:
+        dp_kw["statics"] = dp_statics
     alpha_mid, beta_mid, btf, btb = dp(
         H_pad, L_pad, numT, hap_len, read_len, b_mid,
-        read_codes, hap_codes, eq, uq, lpe, lpn, lpeV, lpnV, scalars)
+        read_codes, hap_codes, eq, uq, lpe, lpn, lpeV, lpnV, scalars,
+        **dp_kw)
     out = _finish(H_pad, L_pad, b_mid, alpha_mid, beta_mid, obs_mid,
                   prior_rmq, prior_hmq, btf, btb, exact_ties=exact_ties,
                   bt_codes=(dp_impl == "pallas"), numT=numT,
@@ -780,6 +786,7 @@ def _finish_stats_call(H_pad, L_pad, numT, V, W, NH, S, NR, exact_ties,
     (fb, lb, n_bqt, n_mm_bqt, m_log_bq, n_mm_left, n_mm_right, num_mm,
      has_event, any_mism, n_ind, cov_ok) = stats
     if do_call:
+        from ..infer.device_call import _window_call
         base, site = _window_call(W, NH, S, NR, ll, dest_w, dest_h,
                                   dest_r, nr_w, pair_pr)
     else:
@@ -930,29 +937,40 @@ def run_packed_compact_sharded(pk: dict, dp_impl: str, mesh,
     if fn is None:
         hmq_consts = (pk["log_off_hmq"], pk["log_on_hmq"])
         ins_consts = (pk["log_ins0"], pk["log_ins1"])
+        # dp_pallas must see CONCRETE scalars (they are static kernel
+        # parameters), so the pallas body closure-captures them — exactly
+        # like the single-device pallas path, which bakes them too.  The
+        # XLA body keeps scalars as a runtime operand: baking them lets
+        # XLA constant-fold (y-1)*logpInsgIns where the single-device
+        # executable FMA-contracts it, a one-ulp f32 divergence.
+        bake = (dp_impl == "pallas")
+        bmv = np.asarray(pk["b_mid"])
+        dp_statics = (int(np.asarray(pk["read_len"]).max()),
+                      int(bmv.max()) if bmv.size else 0,
+                      int(bmv.min()) if bmv.size else 0)
 
-        def body(tables_, pairs_):
+        def body(tables_, pairs_, scalars_arg):
             (rc_r, eq_r, uq_r, hc_h, lpe_h, lpn_h, lpeV_h, lpnV_h,
              lor, lonr) = tables_
             hap_idx, read_idx, hap_len, read_len, b_mid = pairs_
-            # scalars captured concrete so the pallas path can bake them
-            # into its static kernel key
             return _compact_core(
                 pk["H_pad"], pk["L_pad"], pk["numT"], dt.str, dp_impl,
                 exact_ties, rc_r, eq_r, uq_r, hc_h, lpe_h, lpn_h, lpeV_h,
                 lpnV_h, hap_idx, read_idx, hap_len, read_len, b_mid,
-                lor, lonr, hmq_consts, ins_consts, scalars_np)
+                lor, lonr, hmq_consts, ins_consts,
+                scalars_np if bake else scalars_arg,
+                dp_statics=dp_statics)
 
         axes = tuple(mesh.axis_names)
         pair_spec = P(axes)
         sm = shard_map(
             body, mesh=mesh,
-            in_specs=((P(),) * 10, (pair_spec,) * 5),
+            in_specs=((P(),) * 10, (pair_spec,) * 5, P()),
             out_specs=(pair_spec,) * 6,
             check_rep=False)
         fn = jax.jit(sm)
         _SHARDED_CACHE[key] = fn
-    out = fn(tables, pairs)
+    out = fn(tables, pairs, jnp.asarray(scalars_np))
     if Bp != B:
         out = tuple(o[:B] for o in out)
     return out

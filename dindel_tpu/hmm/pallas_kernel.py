@@ -422,7 +422,7 @@ def dp_pallas(H_pad, L_pad, numT,
               hap_len, read_len, b_mid, read_codes, hap_codes,
               eq, uq, lpe, lpn, lpeV, lpnV, scalars, interpret=False,
               exact_ties=False, tb=None, hoist=None, emit_bt=True,
-              unroll=1, anchor_bounds=True, quantize=True):
+              unroll=1, anchor_bounds=True, quantize=True, statics=None):
     """Pallas implementation of the DP passes; same contract as _dp_xla
     (lpeV/lpnV are recomputed in-kernel via lane rolls and ignored),
     except that backpointers come back as nibble-packed 4-bit transition
@@ -456,13 +456,21 @@ def dp_pallas(H_pad, L_pad, numT,
                          f"(got {numT}) — use the XLA path beyond that")
     S2 = 2 * SP
     dtype = eq.dtype
-    L_act = int(np.asarray(read_len).max()) if not isinstance(read_len, jax.core.Tracer) else L_pad
+    if statics is not None:
+        # caller-provided raw (L_act, MB, MN): used when read_len/b_mid
+        # are traced (shard_map bodies) so the kernel keeps the same
+        # static trip counts as the single-device path
+        L_act, MB, MN = statics
+        if not anchor_bounds:
+            MB = MN = None
+    else:
+        L_act = int(np.asarray(read_len).max()) if not isinstance(read_len, jax.core.Tracer) else L_pad
+        MB = MN = None
+        if anchor_bounds and not isinstance(b_mid, jax.core.Tracer):
+            bm = np.asarray(b_mid)
+            if bm.size:
+                MB, MN = int(bm.max()), int(bm.min())
     L_act = max(2, min(int(L_act), L_pad))
-    MB = MN = None
-    if anchor_bounds and not isinstance(b_mid, jax.core.Tracer):
-        bm = np.asarray(b_mid)
-        if bm.size:
-            MB, MN = int(bm.max()), int(bm.min())
 
     if quantize:
         L_act = min(L_pad, ((L_act + 15) // 16) * 16)

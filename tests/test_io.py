@@ -72,13 +72,15 @@ def test_bam_roundtrip_and_fetch(tmp_path):
 
 
 def test_simulate_sane(tmp_path):
+    cfg = SimConfig(ref_len=2000, coverage=20)
     fa, bam = simulate(str(tmp_path / "sim"),
                        [PlantedVariant(pos=1000, var="-ACG", genotype=1)],
-                       SimConfig(ref_len=2000, coverage=20), seed=3)
+                       cfg, seed=3)
     rd = BamReader(bam)
     n = 0
     with_del = 0
-    for r in rd.fetch(0, 950, 1050):
+    P = cfg.start_pad
+    for r in rd.fetch(0, 950 + P, 1050 + P):
         n += 1
         if any(op == "D" for op, _ in r.cigar):
             with_del += 1
