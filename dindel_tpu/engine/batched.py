@@ -306,14 +306,14 @@ class BatchedWindowEngine(WindowEngine):
         return rows
 
     # ------------------------------------------------------------------
-    # in-flight slab pipeline depth: dispatched-not-yet-fetched slabs,
-    # shared across batches (JAX dispatch is async; only the fetch
-    # blocks).  Pending slabs hold only their compact upload tables and
-    # small results — the big backpointer tensors live only inside each
-    # slab's dp->_finish dispatch chain — so the depth can cover a whole
-    # batch and let the device crunch batch N while the host stages
-    # batch N+1.
+    # In-flight slab pipeline depth.  Fused ("stats") slabs are a single
+    # dispatch whose multi-GB backpointer tensors never surface as
+    # dispatch outputs, so any number can queue (bounded loosely at
+    # MAX_INFLIGHT).  Non-fused slabs materialize bt tensors between
+    # their dp and finish dispatches — PjRt allocates those outputs at
+    # ENQUEUE time — so at most PIPELINE_DEPTH of them may be in flight.
     PIPELINE_DEPTH = 4
+    MAX_INFLIGHT = 256
 
     def _want_device_call(self) -> bool:
         p = self.params
@@ -433,9 +433,10 @@ class BatchedWindowEngine(WindowEngine):
         NP = len(h1p)
         kmap_of = {}
         B = merged["hap_idx"].shape[0]
-        dest_w = np.zeros(B, np.int32)
-        dest_h = np.zeros(B, np.int32)
-        dest_r = np.zeros(B, np.int32)
+        # gather map (W, NH, NR) slot -> flat pair index (0 for pads;
+        # garbage masked downstream).  A gather, not a scatter: TPU
+        # scatters serialize and dominated the fused program.
+        index_map = np.zeros((W, NH, NR), np.int32)
         nr_w = np.zeros(W, np.int32)
         calldt = (np.float64 if jax.config.jax_enable_x64 else np.float32)
         pair_pr = np.zeros((W, S, NP), calldt)
@@ -444,12 +445,9 @@ class BatchedWindowEngine(WindowEngine):
             ct = e["ctab"]
             nh = len(e["haps"])
             nr = len(e["reads"])
-            nb = nh * nr
-            dest_w[off:off + nb] = w
-            dest_h[off:off + nb] = np.repeat(np.arange(nh, dtype=np.int32),
-                                             nr)
-            dest_r[off:off + nb] = np.tile(np.arange(nr, dtype=np.int32),
-                                           nh)
+            idx = off + (np.arange(nh, dtype=np.int32)[:, None] * nr
+                         + np.arange(nr, dtype=np.int32)[None, :])
+            index_map[w, :nh, :nr] = idx
             nr_w[w] = nr
             # window pair k -> padded pair index under the NH enumeration
             kmap = (ct["h1v"] * (2 * NH - ct["h1v"] + 1)) // 2 \
@@ -458,11 +456,7 @@ class BatchedWindowEngine(WindowEngine):
             ns = len(ct["var_positions"])
             if ns:
                 pair_pr[w, :ns, kmap] = ct["pair_pr"].T
-            off += nb
-        if off < B:  # pad_compact pair clones: replicate the last window
-            dest_w[off:] = dest_w[off - 1]
-            dest_h[off:] = dest_h[off - 1]
-            dest_r[off:] = dest_r[off - 1]
+            off += nh * nr
         # With x64 enabled (every parity/CPU configuration) the fold
         # math runs on host so GLF bytes stay anchored to numpy/libm
         # exp-rounding; the device fold serves TPU production (f32)
@@ -470,9 +464,8 @@ class BatchedWindowEngine(WindowEngine):
         if self.mesh is None:
             # fused single-device program: 3 dispatches, 6 fetch leaves
             from ..hmm.batch import run_slab_stats_fused
-            callmeta = dict(W=W, NH=NH, S=S, NR=NR, dest_w=dest_w,
-                            dest_h=dest_h, dest_r=dest_r, nr_w=nr_w,
-                            pair_pr=pair_pr)
+            callmeta = dict(W=W, NH=NH, S=S, NR=NR, index_map=index_map,
+                            nr_w=nr_w, pair_pr=pair_pr)
             packed = run_slab_stats_fused(
                 merged, self.dp_impl, vtab, callmeta,
                 p.obs_params.max_mismatch, do_call=do_call)
@@ -483,8 +476,7 @@ class BatchedWindowEngine(WindowEngine):
             mesh=self.mesh)
         if do_call:
             base, site = _window_call(
-                W, NH, S, NR, res["ll"], jnp.asarray(dest_w),
-                jnp.asarray(dest_h), jnp.asarray(dest_r),
+                W, NH, S, NR, res["ll"], jnp.asarray(index_map),
                 jnp.asarray(nr_w), jnp.asarray(pair_pr))
         else:
             base = site = np.zeros(0)
@@ -627,8 +619,12 @@ class BatchedWindowEngine(WindowEngine):
 
     def _push_slab(self, out, slab):
         """Dispatch one slab, first finishing the oldest in-flight slabs
-        (FIFO, possibly an earlier batch's) to respect PIPELINE_DEPTH."""
-        while len(self._inflight) >= self.PIPELINE_DEPTH:
+        (FIFO, possibly an earlier batch's) to respect the depth caps."""
+        def bt_holders():
+            return sum(1 for _it in self._inflight if _it[1][2] != "stats")
+
+        while (len(self._inflight) >= self.MAX_INFLIGHT
+               or bt_holders() >= self.PIPELINE_DEPTH):
             self._pop_slab()
         try:
             st = self._stage_slab(slab)

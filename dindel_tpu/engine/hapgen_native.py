@@ -74,6 +74,10 @@ def native_lib():
             lib.hapdist_insert_read.argtypes = [
                 c.c_void_p, c.c_int64, _U32P, c.c_int32, c.c_char_p,
                 c.c_int64]
+            lib.hapdist_insert_reads.restype = c.c_int32
+            lib.hapdist_insert_reads.argtypes = [
+                c.c_void_p, c.c_int64, _I64P, _U32P, _I64P, c.c_char_p,
+                _I64P]
             lib.hapdist_set_freqs.argtypes = [c.c_void_p]
             lib.hapdist_counts.argtypes = [c.c_void_p] + [
                 c.POINTER(c.c_int64)] * 4
@@ -106,6 +110,40 @@ class NativeHaplotypeDistribution:
         if h:
             self._lib.hapdist_free(h)
             self._h = None
+
+    def insert_reads(self, recs) -> None:
+        """One native call for the whole window's reads (identical
+        sequential first-error semantics to the per-read loop)."""
+        pos, cigs, seqs = [], [], []
+        clens, slens = [], []
+        for rec in recs:
+            if rec.flag & FMUNMAP:
+                continue
+            raw = getattr(rec, "cigar_raw", None)
+            if raw is None:
+                raw = np.fromiter(((ln << 4) | _OP_IDX[op]
+                                   for op, ln in rec.cigar), np.uint32,
+                                  len(rec.cigar))
+            pos.append(rec.pos)
+            cigs.append(raw)
+            clens.append(len(raw))
+            seqs.append(rec.seq)
+            slens.append(len(rec.seq))
+        n = len(pos)
+        if n == 0:
+            return
+        cig_off = np.zeros(n + 1, np.int64)
+        np.cumsum(clens, out=cig_off[1:])
+        seq_off = np.zeros(n + 1, np.int64)
+        np.cumsum(slens, out=seq_off[1:])
+        cig_cat = (np.concatenate(cigs).astype(np.uint32, copy=False)
+                   if cig_off[-1] else np.zeros(1, np.uint32))
+        seq_cat = "".join(seqs).encode()
+        rc = self._lib.hapdist_insert_reads(
+            self._h, n, np.asarray(pos, np.int64),
+            np.ascontiguousarray(cig_cat), cig_off, seq_cat, seq_off)
+        if rc:
+            raise HapGenError(_ERR_MSG[rc])
 
     def insert_read(self, rec) -> None:
         if rec.flag & FMUNMAP:

@@ -195,8 +195,11 @@ class WindowEngine:
         try:
             from .hapgen_native import make_hapdist
             hd = make_hapdist(pos, ref_seq, rs)
-            for r in reads:
-                hd.insert_read(r.bam)
+            if hasattr(hd, "insert_reads"):
+                hd.insert_reads([r.bam for r in reads])
+            else:
+                for r in reads:
+                    hd.insert_read(r.bam)
             hd.set_frequencies()
 
             hdi = HDIterator(hd, p.max_hap, pos, left_pos, right_pos,

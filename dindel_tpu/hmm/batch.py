@@ -769,7 +769,7 @@ def _finish_stats_call(H_pad, L_pad, numT, V, W, NH, S, NR, exact_ties,
                        prior_hmq, btf, btb, hap_len, read_len, read_idx,
                        hap_idx, read_codes_r, hap_codes_h, bqt_r, q95_r,
                        log10q_r, v_left_h, v_right_h, v_isdel_h,
-                       v_valid_h, dest_w, dest_h, dest_r, nr_w, pair_pr,
+                       v_valid_h, index_map, nr_w, pair_pr,
                        max_mismatch):
     """Fused finish + per-pair stats + per-window calling folds: ONE
     device dispatch per slab after the DP kernel, with the results
@@ -787,8 +787,8 @@ def _finish_stats_call(H_pad, L_pad, numT, V, W, NH, S, NR, exact_ties,
      has_event, any_mism, n_ind, cov_ok) = stats
     if do_call:
         from ..infer.device_call import _window_call
-        base, site = _window_call(W, NH, S, NR, ll, dest_w, dest_h,
-                                  dest_r, nr_w, pair_pr)
+        base, site = _window_call(W, NH, S, NR, ll, index_map, nr_w,
+                                  pair_pr)
     else:
         # folds are computed on host (exp/log rounding parity — see
         # infer/device_call.host_window_folds); ship empty stubs
@@ -803,49 +803,83 @@ def _finish_stats_call(H_pad, L_pad, numT, V, W, NH, S, NR, exact_ties,
     return f_plane, m_log_bq, i_plane, b_plane, base, site
 
 
+_FUSED_CACHE = {}
+
+
 def run_slab_stats_fused(pk: dict, dp_impl: str, vtab: dict,
                          callmeta: dict, max_mismatch: int,
                          exact_ties: bool = None, do_call: bool = True):
     """Single-device production slab program with device-side calling:
-    expand (1 dispatch) + DP (1) + fused finish/stats/call (1).  The DP
-    call sees the CONCRETE read_len/b_mid arrays so the pallas kernel
-    keeps its anchor-bounded static trip counts."""
+    expand + DP + finish + stats + window folds as ONE jitted dispatch.
+
+    One dispatch matters twice over: through the axon tunnel each
+    dispatch costs ~20 ms of host time, and — decisive for pipelining —
+    the multi-GB backpointer tensors never appear as dispatch outputs,
+    so their HBM lives only inside one program execution and the engine
+    can keep a whole batch of slabs in flight (the 3-dispatch structure
+    allocated bt buffers at enqueue, capping the pipeline at ~4 slabs).
+    The DP statics (L_act, MB, MN) are computed host-side from the
+    concrete arrays and baked per compile."""
     if exact_ties is None:
         exact_ties = (dp_impl == "xla")
     dt = np.dtype(pk["eq_r"].dtype)
-    (read_codes, eq, uq, hap_codes, lpe, lpn, lpeV, lpnV,
-     prior_rmq, prior_hmq, obs_mid) = _expand_compact(
-        pk["H_pad"], pk["L_pad"], dt.str,
-        jnp.asarray(pk["read_codes_r"]), jnp.asarray(pk["eq_r"]),
-        jnp.asarray(pk["uq_r"]), jnp.asarray(pk["hap_codes_h"]),
-        jnp.asarray(pk["lpe_h"]), jnp.asarray(pk["lpn_h"]),
-        jnp.asarray(pk["lpeV_h"]), jnp.asarray(pk["lpnV_h"]),
-        jnp.asarray(pk["hap_idx"]), jnp.asarray(pk["read_idx"]),
-        jnp.asarray(pk["hap_len"]), jnp.asarray(pk["b_mid"]),
-        jnp.asarray(pk["log_off_r"]), jnp.asarray(pk["log_on_r"]),
-        (pk["log_off_hmq"], pk["log_on_hmq"]),
-        (pk["log_ins0"], pk["log_ins1"]))
-    dp = get_dp_impl(dp_impl)
-    alpha_mid, beta_mid, btf, btb = dp(
-        pk["H_pad"], pk["L_pad"], pk["numT"], jnp.asarray(pk["hap_len"]),
-        pk["read_len"], pk["b_mid"], read_codes, hap_codes, eq, uq,
-        lpe, lpn, lpeV, lpnV, pk["scalars"])
     cm = callmeta
-    return _finish_stats_call(
-        pk["H_pad"], pk["L_pad"], pk["numT"],
-        vtab["v_left_h"].shape[1], cm["W"], cm["NH"], cm["S"], cm["NR"],
-        exact_ties, dp_impl == "pallas", do_call,
-        jnp.asarray(pk["b_mid"]), alpha_mid, beta_mid, obs_mid,
-        prior_rmq, prior_hmq, btf, btb, jnp.asarray(pk["hap_len"]),
-        jnp.asarray(pk["read_len"]), jnp.asarray(pk["read_idx"]),
-        jnp.asarray(pk["hap_idx"]), jnp.asarray(pk["read_codes_r"]),
-        jnp.asarray(pk["hap_codes_h"]), jnp.asarray(pk["bqt_r"]),
-        jnp.asarray(pk["q95_r"]), jnp.asarray(pk["log10q_r"]),
-        jnp.asarray(vtab["v_left_h"]), jnp.asarray(vtab["v_right_h"]),
-        jnp.asarray(vtab["v_isdel_h"]), jnp.asarray(vtab["v_valid_h"]),
-        jnp.asarray(cm["dest_w"]), jnp.asarray(cm["dest_h"]),
-        jnp.asarray(cm["dest_r"]), jnp.asarray(cm["nr_w"]),
-        jnp.asarray(cm["pair_pr"]), jnp.asarray(np.int32(max_mismatch)))
+    bmv = np.asarray(pk["b_mid"])
+    dp_statics = (int(np.asarray(pk["read_len"]).max()),
+                  int(bmv.max()) if bmv.size else 0,
+                  int(bmv.min()) if bmv.size else 0)
+    V = vtab["v_left_h"].shape[1]
+    hmq_consts = (pk["log_off_hmq"], pk["log_on_hmq"])
+    ins_consts = (pk["log_ins0"], pk["log_ins1"])
+    scalars_np = np.asarray(pk["scalars"])
+    key = (pk["H_pad"], pk["L_pad"], pk["numT"], dt.str, dp_impl,
+           exact_ties, do_call, V, cm["W"], cm["NH"], cm["S"], cm["NR"],
+           dp_statics, hmq_consts, ins_consts,
+           tuple(float(x) for x in scalars_np))
+    fn = _FUSED_CACHE.get(key)
+    if fn is None:
+        H_pad, L_pad, numT = pk["H_pad"], pk["L_pad"], pk["numT"]
+        W, NH, S, NR = cm["W"], cm["NH"], cm["S"], cm["NR"]
+        bt_codes = dp_impl == "pallas"
+
+        @jax.jit
+        def fn(read_codes_r, eq_r, uq_r, hap_codes_h, lpe_h, lpn_h,
+               lpeV_h, lpnV_h, hap_idx, read_idx, hap_len, read_len,
+               b_mid, log_off_r, log_on_r, bqt_r, q95_r, log10q_r,
+               v_left_h, v_right_h, v_isdel_h, v_valid_h, index_map,
+               nr_w, pair_pr, scalars, max_mm):
+            (read_codes, eq, uq, hap_codes, lpe, lpn, lpeV, lpnV,
+             prior_rmq, prior_hmq, obs_mid) = _expand_compact(
+                H_pad, L_pad, dt.str, read_codes_r, eq_r, uq_r,
+                hap_codes_h, lpe_h, lpn_h, lpeV_h, lpnV_h, hap_idx,
+                read_idx, hap_len, b_mid, log_off_r, log_on_r,
+                hmq_consts, ins_consts)
+            dp = get_dp_impl(dp_impl)
+            dp_kw = {"statics": dp_statics} if bt_codes else {}
+            # the pallas kernel bakes scalars as static constants (it
+            # cannot read traced values); the XLA path keeps them as the
+            # runtime operand it always had
+            alpha_mid, beta_mid, btf, btb = dp(
+                H_pad, L_pad, numT, hap_len, read_len, b_mid,
+                read_codes, hap_codes, eq, uq, lpe, lpn, lpeV, lpnV,
+                scalars_np if bt_codes else scalars, **dp_kw)
+            return _finish_stats_call(
+                H_pad, L_pad, numT, V, W, NH, S, NR, exact_ties,
+                bt_codes, do_call, b_mid, alpha_mid, beta_mid, obs_mid,
+                prior_rmq, prior_hmq, btf, btb, hap_len, read_len,
+                read_idx, hap_idx, read_codes_r, hap_codes_h, bqt_r,
+                q95_r, log10q_r, v_left_h, v_right_h, v_isdel_h,
+                v_valid_h, index_map, nr_w, pair_pr, max_mm)
+
+        _FUSED_CACHE[key] = fn
+    return fn(pk["read_codes_r"], pk["eq_r"], pk["uq_r"],
+              pk["hap_codes_h"], pk["lpe_h"], pk["lpn_h"], pk["lpeV_h"],
+              pk["lpnV_h"], pk["hap_idx"], pk["read_idx"], pk["hap_len"],
+              pk["read_len"], pk["b_mid"], pk["log_off_r"],
+              pk["log_on_r"], pk["bqt_r"], pk["q95_r"], pk["log10q_r"],
+              vtab["v_left_h"], vtab["v_right_h"], vtab["v_isdel_h"],
+              vtab["v_valid_h"], cm["index_map"], cm["nr_w"],
+              cm["pair_pr"], pk["scalars"], np.int32(max_mismatch))
 
 
 def run_packed_compact_stats(pk: dict, dp_impl: str, vtab: dict,

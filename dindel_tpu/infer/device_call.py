@@ -229,16 +229,21 @@ def build_call_tables(haps: List[Haplotype], candidates: AlignedCandidates,
 
 
 @partial(jax.jit, static_argnames=("W", "NH", "S", "NR"))
-def _window_call(W, NH, S, NR, ll, dest_w, dest_h, dest_r, nr_w, pair_pr):
+def _window_call(W, NH, S, NR, ll, index_map, nr_w, pair_pr):
     """Per-window read folds over the slab's flat ll vector.
 
     base[w, k]    = fold_{r<nr_w} of t_r,   t_r = log(.5) + addLogs(l1, l2)
     site[w, s, k] = pair_pr[w, s, k] then the same fold —
     both in the reference's sequential accumulation order (the cumsum in
-    diploid_glf); masked reads add +0.0 which is exact."""
+    diploid_glf); masked reads add +0.0 which is exact.
+
+    index_map (W, NH, NR) int32 maps each padded slot to its flat pair
+    index (0 for pad slots — a GATHER, because TPU scatters serialize);
+    garbage from pad slots is masked by nr_w here and by pair validity
+    on host."""
     dt = pair_pr.dtype
     llc = ll.astype(dt)
-    llp = jnp.zeros((W, NH, NR), dt).at[dest_w, dest_h, dest_r].set(llc)
+    llp = llc[index_map.reshape(-1)].reshape(W, NH, NR)
     h1v, h2v = pair_enum(NH)
     NP = h1v.shape[0]
     log5 = np.array(math.log(0.5), dt)

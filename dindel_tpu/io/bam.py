@@ -49,6 +49,9 @@ class BamRecord:
     seq: str = ""
     qual: bytes = b""           # raw phred values (no +33)
     tags: List[Tuple[str, str, object]] = field(default_factory=list)
+    # optional raw aux bytes; parsed into `tags` on first access (tag
+    # parsing was a top host cost and most records never need tags)
+    aux_raw: Optional[bytes] = None
 
     # --- flag helpers (bam.h macro equivalents) ---
     @property
@@ -82,8 +85,14 @@ class BamRecord:
                 end += ln
         return end
 
+    def all_tags(self) -> List[Tuple[str, str, object]]:
+        if self.aux_raw is not None:
+            self.tags = _parse_tags(self.aux_raw, 0)
+            self.aux_raw = None
+        return self.tags
+
     def get_tag(self, name: str):
-        for tag, _typ, val in self.tags:
+        for tag, _typ, val in self.all_tags():
             if tag == name:
                 return val
         return None
@@ -92,7 +101,7 @@ class BamRecord:
         """Mirror of Read::getAuxData (Read.hpp:223-256) used by
         --filterReadAux matching."""
         out = []
-        for tag, typ, val in self.tags:
+        for tag, typ, val in self.all_tags():
             if typ in "AZH":
                 out.append(f"\t{tag}{typ}:{val}")
             elif typ == "f":
@@ -241,7 +250,7 @@ def _pack_record(r: BamRecord) -> bytes:
     body += packed
     qual = r.qual if len(r.qual) == l_seq else bytes([0xFF] * l_seq)
     body += qual
-    for tag, typ, val in r.tags:
+    for tag, typ, val in r.all_tags():
         if typ == "A":
             body += tag.encode() + b"A" + val.encode()
         elif typ == "i":

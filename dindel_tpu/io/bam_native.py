@@ -297,13 +297,13 @@ class BamArena:
                    .tolist()]
             s0, s1 = self.seq_off[i], self.seq_off[i + 1]
             a0, a1 = self.aux_off[i], self.aux_off[i + 1]
-            tags = _parse_tags(self.aux_b[a0:a1], 0) if a1 > a0 else []
             rec = BamRecord(
                 qname=self.qname_bytes(i).decode(),
                 flag=flag, tid=tid, pos=pos, mapq=mapq, cigar=cig,
                 mtid=mtid, mpos=mpos, isize=isize,
                 seq=self.seq_b[s0:s1].decode(),
-                qual=self.qual_b[s0:s1], tags=tags)
+                qual=self.qual_b[s0:s1],
+                aux_raw=self.aux_b[a0:a1] if a1 > a0 else None)
             # raw packed (len<<4|op) view for native consumers (hapdist)
             rec.cigar_raw = np.ascontiguousarray(
                 self.cigar[self.cigar_off[i]:self.cigar_off[i + 1]])

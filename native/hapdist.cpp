@@ -304,6 +304,23 @@ int32_t hapdist_insert_read(void* h, int64_t pos, const uint32_t* cig,
   return ((HapDist*)h)->insert_read(pos, cig, ncig, seq, seq_len);
 }
 
+// Batched ingestion: one call per window instead of one ctypes round
+// trip per read.  Sequential with first-error abort — identical
+// semantics to the per-read loop (the engine discards the whole
+// distribution on error anyway).
+int32_t hapdist_insert_reads(void* h, int64_t n, const int64_t* pos,
+                             const uint32_t* cig, const int64_t* cig_off,
+                             const char* seqs, const int64_t* seq_off) {
+  HapDist* hd = (HapDist*)h;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t rc = hd->insert_read(
+        pos[i], cig + cig_off[i], (int32_t)(cig_off[i + 1] - cig_off[i]),
+        seqs + seq_off[i], seq_off[i + 1] - seq_off[i]);
+    if (rc) return rc;
+  }
+  return 0;
+}
+
 void hapdist_set_freqs(void* h) {
   HapDist* hd = (HapDist*)h;
   for (auto& b : hd->blocks) b.set_frequencies();

@@ -56,6 +56,9 @@ def _run_engine(tmp_path, fa, bam, win_files, device_call, dtype,
     rows = []
     for wf in win_files:
         rows.extend(eng.detect_indels(wf, glf))
+    # a device-path crash would fall back to the rescue engine and make
+    # the A/B comparison vacuous
+    assert eng.stats.stage_seconds.get("slab_rescues", 0) == 0
     eng.close()
     return rows, open(glf).read()
 
@@ -125,17 +128,15 @@ def test_window_call_matches_host_folds():
     hb, hs = host_window_folds(ll, ctab)
 
     W, NH, NR = 8, nh, 64
-    B = nh * nr
-    dest_w = np.zeros(B, np.int32)
-    dest_h = np.repeat(np.arange(nh, dtype=np.int32), nr)
-    dest_r = np.tile(np.arange(nr, dtype=np.int32), nh)
+    index_map = np.zeros((W, NH, NR), np.int32)
+    index_map[0, :nh, :nr] = (np.arange(nh)[:, None] * nr
+                              + np.arange(nr)[None, :])
     nr_w = np.zeros(W, np.int32)
     nr_w[0] = nr
     pp = np.zeros((W, 4, np_pair))
     pp[0, :S] = pair_pr
     base, site = _window_call(W, NH, 4, NR, jnp.asarray(ll.ravel()),
-                              jnp.asarray(dest_w), jnp.asarray(dest_h),
-                              jnp.asarray(dest_r), jnp.asarray(nr_w),
+                              jnp.asarray(index_map), jnp.asarray(nr_w),
                               jnp.asarray(pp))
     np.testing.assert_allclose(np.asarray(base)[0], hb, rtol=1e-12,
                                atol=1e-8)

@@ -36,7 +36,7 @@ def _assert_same(a, b):
     assert a.isize == b.isize
     assert a.seq == b.seq
     assert a.qual == b.qual
-    assert a.tags == b.tags
+    assert a.all_tags() == b.all_tags()
     assert a.end_pos() == b.end_pos()
 
 

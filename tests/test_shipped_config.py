@@ -41,6 +41,9 @@ def test_engine_pallas_interpret_matches_xla_f32(tmp_path, interp):
         glf = str(tmp_path / f"{name}.glf.txt")
         eng.detect_indels(win_files[0], glf)
         assert eng.stats.windows_ok >= 2, eng.stats.error_messages
+        # the comparison is vacuous if the device path crashed and the
+        # per-window rescue recomputed everything through XLA
+        assert eng.stats.stage_seconds.get("slab_rescues", 0) == 0
         eng.close()
         outs[name] = open(glf).read()
     assert "dip.map" in outs["xla"]
@@ -66,6 +69,7 @@ def test_golden_pipeline_pallas_interpret(tmp_path, interp):
                               dtype=np.float32)
     glf = str(tmp_path / "out.glf.txt")
     eng.detect_indels(win_files[0], glf)
+    assert eng.stats.stage_seconds.get("slab_rescues", 0) == 0
     eng.close()
     vcf = str(tmp_path / "calls.vcf")
     merge_output_diploid([glf], vcf, fa)
