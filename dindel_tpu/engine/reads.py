@@ -425,9 +425,20 @@ def _get_reads_arena(bams, tid: str, left_pos: int, right_pos: int,
             templates[i] = t
         return t
 
+    def materialize_batch(idxs):
+        """Survivor Reads built straight from the arena columns — no
+        BamRecord, no per-field python; field-for-field identical to
+        read_from_bam (asserted loop==array==arena in
+        tests/test_reads_array.py and vs the compiled reference in
+        tests/test_reads_ref.py)."""
+        return [_read_from_arena(refs[i], buf.cols, i, libraries,
+                                 rg2libs)
+                for i in idxs]
+
     return _cascade_core(buf.cols, left_pos, right_pos, left_most,
                          right_most, params, materialize,
-                         lib_of=lambda j: materialize(j).get_library())
+                         lib_of=lambda j: materialize(j).get_library(),
+                         materialize_batch=materialize_batch)
 
 
 import numpy as _np
@@ -436,6 +447,126 @@ import math as _math
 _MAPQ_TABLE = _np.array(
     [min(max(1.0 - _math.pow(10.0, -q / 10.0), 1e-16), 1 - 1e-16)
      for q in range(256)], _np.float64)
+
+
+class _ArenaBamView:
+    """Light stand-in for a survivor Read's .bam record: the four fields
+    the hot path touches (haplotype-distribution ingestion) are plain
+    attributes; anything else (realigned-BAM writing, aux matching,
+    cigar tuples) lazily materializes the full BamRecord and delegates."""
+
+    __slots__ = ("_arena", "_row", "_rec0", "flag", "pos", "cigar_raw",
+                 "seq")
+
+    def __init__(self, arena, row, flag, pos, cigar_raw, seq):
+        self._arena = arena
+        self._row = row
+        self._rec0 = None
+        self.flag = flag
+        self.pos = pos
+        self.cigar_raw = cigar_raw
+        self.seq = seq
+
+    def _rec(self):
+        if self._rec0 is None:
+            self._rec0 = self._arena.record(self._row)
+        return self._rec0
+
+    def __getattr__(self, name):
+        # never delegate private/dunder lookups (copy/pickle protocols
+        # probe them on half-initialized instances -> recursion)
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return getattr(self._rec(), name)
+
+    def __copy__(self):
+        # consumers that copy-and-mutate (realigned-BAM writer) get a
+        # real mutable BamRecord
+        import copy
+        return copy.copy(self._rec())
+
+
+def _read_from_arena(ref, cols, i, libraries, rg2libs) -> Read:
+    """read_from_bam built straight from arena columns (no BamRecord):
+    the clamped mapQual/base probabilities, position statistics and
+    library lookup use the identical float ops and rules."""
+    from ..io.bam import FPAIRED, FMREVERSE, _parse_tags
+
+    arena, row, pool = ref
+    flag = int(arena.fixed[row, 3])
+    s0 = arena.seq_off[row]
+    s1 = arena.seq_off[row + 1]
+    seq = arena.seq_b[s0:s1].decode()
+    qual = _PHRED_TABLE[_np.frombuffer(arena.qual_b[s0:s1], _np.uint8)]
+    raw = _np.ascontiguousarray(
+        arena.cigar[arena.cigar_off[row]:arena.cigar_off[row + 1]])
+    pos = int(cols["pos"][i])
+    # computePositionStatistics (model.mean_first_base_position) on the
+    # packed numeric ops: M=0 I=1 D=2 N=3 S=4 H=5
+    p_ = 0
+    tot = 0
+    mean = 0
+    ops = raw.tolist()
+    for v in ops:
+        op = v & 0xF
+        ln = v >> 4
+        if op == 0:
+            mean += ln * (p_ - tot)
+            tot += ln
+        if op == 0 or op == 2 or op == 4 or op == 5:
+            p_ += ln
+    if tot == 0:
+        pos_stat = (-1.0, -1.0)
+    else:
+        dmean = mean / tot
+        p_ = 0
+        tot = 0
+        var = 0.0
+        for v in ops:
+            op = v & 0xF
+            ln = v >> 4
+            if op == 0:
+                var += ln * ((p_ - tot) - dmean) ** 2
+                tot += ln
+            if op == 0 or op == 2 or op == 4 or op == 5:
+                p_ += ln
+        pos_stat = (dmean + pos, var / tot)
+
+    is_paired = bool(flag & FPAIRED)
+    if is_paired:
+        a0 = arena.aux_off[row]
+        a1 = arena.aux_off[row + 1]
+        rg = None
+        if a1 > a0:
+            for tag, _typ, val in _parse_tags(arena.aux_b[a0:a1], 0):
+                if tag == "RG":
+                    rg = val
+                    break
+        lib_name = rg2libs[pool].get(rg, "dindel_default") if rg \
+            else "dindel_default"
+    else:
+        lib_name = "single_end"
+    library = libraries.get(lib_name)
+    unknown_lib = False
+    if library is None:
+        unknown_lib = True
+        library = libraries["single_end"]
+
+    view = _ArenaBamView(arena, int(row), flag, pos, raw, seq)
+    r = Read(seq=seq, qual=qual, map_qual=float(cols["mq"][i]),
+             pos=pos, pos_stat_first=pos_stat[0], pos_stat_var=pos_stat[1],
+             on_reverse_strand=bool(cols["reverse"][i]),
+             is_unmapped=bool(cols["unmapped"][i]),
+             is_paired=is_paired,
+             mate_is_unmapped=bool(cols["mate_unm"][i]),
+             mate_is_reverse=bool(flag & FMREVERSE),
+             same_tid_as_mate=bool(cols["same_tid"][i]),
+             mate_pos=int(cols["mate_pos0"][i]), mate_len=-1,
+             pool_id=pool, library=library,
+             qname=arena.qname_bytes(row).decode(), bam=view)
+    r.unknown_lib = unknown_lib
+    r.bam_end = int(cols["end"][i])
+    return r
 
 
 def _copy_read(r: Read) -> Read:
@@ -479,7 +610,7 @@ def _cascade_array(buf: ReadBuffer, qids: List[int], left_pos: int,
 
 def _cascade_core(cols: dict, left_pos: int, right_pos: int,
                   left_most: int, right_most: int, params: Parameters,
-                  materialize, lib_of) -> List[Read]:
+                  materialize, lib_of, materialize_batch=None) -> List[Read]:
     """Cascade body shared by the Read-object and arena buffers: all
     filters/mutations run on the column arrays; `materialize(i)` yields
     the buffer Read template to copy for a survivor, `lib_of(j)` the
@@ -591,9 +722,14 @@ def _cascade_core(cols: dict, left_pos: int, right_pos: int,
     cut = min(cut, params.max_reads)
 
     reads: List[Read] = []
-    for i in order[:cut]:
-        i = int(i)
-        r = _copy_read(materialize(i))
+    idxs = [int(i) for i in order[:cut]]
+    if materialize_batch is not None:
+        # fresh Reads straight from the arena columns (no cached
+        # template, so no defensive copy needed)
+        base = materialize_batch(idxs)
+    else:
+        base = [_copy_read(materialize(i)) for i in idxs]
+    for r, i in zip(base, idxs):
         r.map_qual = float(mq_new[i])
         r.mate_pos = int(mate_pos_new[i])
         if mate_len_new[i] != -1:
