@@ -606,7 +606,9 @@ class BatchedWindowEngine(WindowEngine):
         if not getattr(self, "_rescue_reported", False):
             self._rescue_reported = True
             print("WARNING: slab device phase failed; per-window rescue "
-                  "engaged. First cause:", file=sys.stderr)
+                  f"engaged (recursionlimit={sys.getrecursionlimit()}, "
+                  f"thread={__import__('threading').current_thread().name})."
+                  " First cause:", file=sys.stderr)
             traceback.print_exc(file=sys.stderr)
         for e in slab:
             try:

@@ -45,6 +45,13 @@ TB_DEFAULT = 128
 # the caller's flag — used by CI to execute the shipped TPU kernel
 # configuration (pallas + fast ties + f32) on CPU.
 FORCE_INTERPRET = False
+
+# Tracing the kernel inside the engine's fused outer jit nests tracers
+# deeply enough that the default 1000-frame recursion limit can trip
+# depending on the caller's own stack depth (it did from bench.py but
+# not from tools/bench_windows.py).  Headroom is cheap.
+import sys as _sys
+_sys.setrecursionlimit(max(_sys.getrecursionlimit(), 20000))
 # Default invariant-hoisting mode (see _make_kernel docstring); A/B'd on
 # hardware with tools/ab_hoist.py.
 HOIST_DEFAULT = "all"
