@@ -144,6 +144,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--sampleID", default="SAMPLE")
     ap.add_argument("--maxHPLen", type=int, default=10)
     ap.add_argument("--filterQual", type=int, default=20)
+    ap.add_argument("--minQual", type=float, default=1.0,
+                    help="convertVCFToDindel QUAL gate "
+                         "(python/convertVCFToDindel.py:57)")
     ap.add_argument("--numSamples", type=int, default=0)
     ap.add_argument("--numBAMFiles", type=int, default=0)
     return ap
@@ -286,7 +289,8 @@ def main(argv=None) -> int:
 
     if analysis == "convertVCFToDindel":
         from .pipeline.genotype_likelihoods import convert_vcf_to_dindel
-        convert_vcf_to_dindel(args.inputVarFile, args.outputFile, args.ref)
+        convert_vcf_to_dindel(args.inputVarFile, args.outputFile, args.ref,
+                              min_qual=args.minQual)
         return 0
 
     if analysis == "makeGenotypeLikelihoodFilePooled":

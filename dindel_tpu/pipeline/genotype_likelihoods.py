@@ -75,29 +75,112 @@ class Variant4:
             self.length = len(self.seq)
 
 
-def convert_vcf_to_dindel(vcf_path: str, output_path: str, ref_file: str) -> int:
+class _VCFRecordReader:
+    """Replica of utils/VCFFile.py read-mode behavior as far as
+    convertVCFToDindel exercises it (VCFFile.py:47-372): '##' header scan
+    with VCF v3/v4 version detection (v3.3 headers tolerated, :103-110),
+    '#C'-prefixed label line split on whitespace with every '#' stripped
+    (:266-267), main-label presence check (:276-278), and parseline's
+    quirks — an empty line ends the file ({} -> caller breaks, :286-287)
+    and a line with fewer than max-column-index fields warns
+    'Cannot parse this line' and ALSO ends the file (:291-292, because
+    the partial dict is never populated and readline's {} breaks the
+    caller's loop)."""
+
+    _MAIN_LABELS = ("CHROM", "POS", "ID", "REF", "ALT", "QUAL")
+
+    def __init__(self, fname: str):
+        import gzip
+        import os
+        if os.path.splitext(fname)[-1] == ".gz":
+            self.f = gzip.open(fname, "rt")
+        else:
+            self.f = open(fname)
+        self.version = None
+        self.lab_to_col: Dict[str, int] = {}
+        while True:
+            line = self.f.readline()
+            if line == "":
+                raise ValueError("No #CHROM header line in VCF file")
+            line = line.rstrip("\n")
+            if line[:2] == "##":
+                if line.find("fileformat") != -1:
+                    if line.find("VCF") == -1 and line.find("vcf") == -1:
+                        raise ValueError("Cannot determine VCF version")
+                    if line.find("v3") != -1:
+                        self.version = 3
+                    elif line.find("v4") != -1 or line.find("VCF4") != -1:
+                        self.version = 4
+                    else:
+                        raise ValueError("Cannot determine VCF version")
+            elif line[:1] == "#" and line[1:2] == "C":
+                labels = line.replace("#", "").split()
+                for i, lab in enumerate(labels):
+                    self.lab_to_col[lab] = i
+                break
+        for lab in self._MAIN_LABELS:
+            if lab not in self.lab_to_col:
+                raise ValueError(
+                    f"Could not find column {lab} in header of VCF file!")
+        self.min_len = max(self.lab_to_col.values())
+
+    def readline(self) -> Dict[str, str]:
+        line = self.f.readline().rstrip("\n")
+        if line == "":
+            return {}
+        col = line.split("\t")
+        if len(col) < self.min_len:
+            sys.stderr.write("Cannot parse this line:\n" + line + "\n")
+            return {}
+        return {lab: col[self.lab_to_col[lab]] for lab in self._MAIN_LABELS}
+
+    def close(self):
+        self.f.close()
+
+
+def convert_vcf_to_dindel(vcf_path: str, output_path: str, ref_file: str,
+                          min_qual: float = 1.0) -> int:
     """python/convertVCFToDindel.py (:9-46): VCF records -> candidate
-    lines 'chrom newpos var'. Verifies REF against the FASTA."""
+    lines 'chrom newpos var'.
+
+    Reference semantics kept exactly: `vcf_path` is a comma-separated
+    list of VCF files (:17); a REF/FASTA mismatch only warns
+    'REFSEQ inconsistency' on stderr, the record is still converted
+    (:32-34); records pass when QUAL is '.' or >= min_qual (:36);
+    multi-allelic ALT is split on ',' (:37); '<DEL>' alts and
+    length-preserving alts (SNPs/MNPs) are skipped (:40); only ins/del
+    Variant4 types are emitted, at pos+offset-1 (:41-43)."""
     fa = FastaFile(ref_file)
     n = 0
-    with open(vcf_path) as fin, open(output_path, "w") as fout:
-        for line in fin:
-            if line.startswith("#"):
-                continue
-            toks = line.rstrip("\n").split("\t")
-            if len(toks) < 5:
-                continue
-            chrom, pos, _id, ref, alt = toks[:5]
-            pos = int(pos)
-            seq = fa.get0(chrom, pos - 1, len(ref))
-            if seq.upper() != ref.upper():
-                raise ValueError(
-                    f"Reference sequence mismatch at {chrom}:{pos}: "
-                    f"{seq} != {ref}")
-            var = Variant4(ref=ref, alt=alt)
-            newpos = pos + var.offset - 1
-            fout.write(f"{chrom} {newpos} {var.str}\n")
-            n += 1
+    with open(output_path, "w") as fout:
+        for vcffile in vcf_path.split(","):
+            vcf = _VCFRecordReader(vcffile)
+            while True:
+                dat = vcf.readline()
+                if dat == {}:
+                    break
+                pos = int(dat["POS"])
+                chrom = dat["CHROM"]
+                ref = dat["REF"]
+                try:
+                    # Unknown chromosomes crash in the reference too
+                    # (Fasta.py:38-40 raises); out-of-range positions
+                    # only yield a garbage compare there, so map our
+                    # clamp error to the warn path.
+                    rseq = fa.get0(chrom, pos - 1, len(ref))
+                except ValueError:
+                    rseq = None
+                if rseq != ref:
+                    sys.stderr.write("REFSEQ inconsistency\n")
+                if dat["QUAL"] == "." or float(dat["QUAL"]) >= min_qual:
+                    for alt in dat["ALT"].split(","):
+                        if alt != "<DEL>" and len(alt) != len(ref):
+                            var = Variant4(ref=ref, alt=alt)
+                            if var.type in ("ins", "del"):
+                                fout.write(
+                                    f"{chrom} {pos + var.offset - 1} {var.str}\n")
+                                n += 1
+            vcf.close()
     fa.close()
     return n
 
