@@ -89,7 +89,7 @@ class BatchedWindowEngine(WindowEngine):
     def __init__(self, *args, batch_windows: int = 128,
                  max_pairs_per_slab: int = 24576, dp_impl: str = "xla",
                  dtype=np.float32, mesh=None, device_call: bool = True,
-                 **kwargs):
+                 remote=None, **kwargs):
         # Per-window fallback backend when a whole slab faults on device:
         # the batched XLA kernel (ms/window), NOT the float64 oracle
         # (minutes/window at scale).  Bit-parity with the slab path is
@@ -114,6 +114,12 @@ class BatchedWindowEngine(WindowEngine):
             from ..parallel.mesh import make_mesh
             mesh = make_mesh(*mesh)
         self.mesh = mesh
+        # Multi-process host staging (parallel/hostshard.py): when set,
+        # every slab program runs in the device-server process and this
+        # engine only ships packed numpy tables / fetches result arrays.
+        self.remote = remote
+        if remote is not None and mesh is not None:
+            raise ValueError("remote staging and mesh sharding are exclusive")
         # global FIFO of dispatched-not-yet-fetched slabs, shared across
         # batches: each item is (out_dict, (slab, pks, compact, res))
         self._inflight: List[tuple] = []
@@ -269,7 +275,8 @@ class BatchedWindowEngine(WindowEngine):
         liks_by_idx = pending["out"]
         try:
             with self.stats.stage("device_hmm"):
-                self._drain_for(liks_by_idx, pending["items"])
+                self._drain_for(liks_by_idx, pending["items"],
+                                pending["params"])
         finally:
             pending["fetch_done"].set()
         p = pending["params"]  # per-batch copy; KeyError > silent race
@@ -358,6 +365,16 @@ class BatchedWindowEngine(WindowEngine):
                     for e in slab:
                         e["ctab"] = build_call_tables(
                             e["haps"], e["candidates"], e["left_pos"], p)
+                    # A flank window reaching the LO/RO sentinel codes
+                    # (left_flank_read - padCover <= -3, possible via the
+                    # load-bearing negative-flank quirks) makes the
+                    # device slot-coverage fold diverge from the host
+                    # column-wise this_covered computation — route the
+                    # slab through the full-decode host path instead.
+                    if any((e["ctab"]["v_valid"]
+                            & (e["ctab"]["v_left"] <= -3)).any()
+                           for e in slab):
+                        use_dev = False
             with self.stats.stage("slab_dispatch"):
                 if use_dev:
                     mode = "stats"
@@ -365,7 +382,11 @@ class BatchedWindowEngine(WindowEngine):
                 elif compact:
                     mode = "compact"
                     merged = pad_compact(merge_compact(pks))
-                    if self.mesh is not None:
+                    if self.remote is not None:
+                        res = self.remote.dispatch(
+                            "compact",
+                            dict(merged=merged, dp_impl=self.dp_impl))
+                    elif self.mesh is not None:
                         res = run_packed_compact_sharded(
                             merged, self.dp_impl, self.mesh)
                     else:
@@ -380,8 +401,14 @@ class BatchedWindowEngine(WindowEngine):
                     merged.update(H_pad=H_pad, L_pad=L_pad,
                                   numT=pks[0]["numT"],
                                   scalars=pks[0]["scalars"], nh=0, nr=0)
-                    res = run_packed(merged, self.dp_impl)  # async
-                if mode in ("compact", "dense") and H_pad + 2 <= 255:
+                    if self.remote is not None:
+                        res = self.remote.dispatch(
+                            "dense",
+                            dict(merged=merged, dp_impl=self.dp_impl))
+                    else:
+                        res = run_packed(merged, self.dp_impl)  # async
+                if (self.remote is None
+                        and mode in ("compact", "dense") and H_pad + 2 <= 255):
                     # 7-tuple wire format: map_state split into uint8
                     # hap-position + packed ins bits (0.53x fetch bytes)
                     xs8, insb = _split_ms_for(H_pad + 2)(res[-1])
@@ -461,6 +488,15 @@ class BatchedWindowEngine(WindowEngine):
         # math runs on host so GLF bytes stay anchored to numpy/libm
         # exp-rounding; the device fold serves TPU production (f32)
         do_call = not jax.config.jax_enable_x64
+        if self.remote is not None:
+            callmeta = dict(W=W, NH=NH, S=S, NR=NR, index_map=index_map,
+                            nr_w=nr_w, pair_pr=pair_pr)
+            h = self.remote.dispatch(
+                "stats", dict(merged=merged, dp_impl=self.dp_impl,
+                              vtab=vtab, callmeta=callmeta,
+                              max_mismatch=p.obs_params.max_mismatch,
+                              do_call=do_call))
+            return dict(packed=h, kmap_of=kmap_of, V=V, do_call=do_call)
         if self.mesh is None:
             # fused single-device program: 3 dispatches, 6 fetch leaves
             from ..hmm.batch import run_slab_stats_fused
@@ -483,17 +519,23 @@ class BatchedWindowEngine(WindowEngine):
         return dict(stats=res, base=base, site=site, kmap_of=kmap_of,
                     do_call=do_call)
 
-    def _finish_slab(self, out, staged, fetched=None):
-            """Blocking fetch (unless prefetched) + vectorized decode."""
-            p = self.params
+    def _finish_slab(self, out, staged, fetched=None, params=None):
+            """Blocking fetch (unless prefetched) + vectorized decode.
+
+            On the finish worker `params` is the per-batch copy; only
+            the main thread may fall back to self.params."""
+            p = self.params if params is None else params
             slab, pks, mode, res = staged
             if fetched is None:
                 with self.stats.stage("slab_fetch"):
                     # one pytree fetch (pipelined transfers) instead of
                     # six sequential ~25 ms tunnel round trips
-                    fetched = jax.device_get(res)
+                    if self.remote is not None:
+                        fetched = self.remote.fetch_pytrees([res])[0]
+                    else:
+                        fetched = jax.device_get(res)
             if mode == "stats":
-                self._finish_slab_stats(out, slab, pks, fetched)
+                self._finish_slab_stats(out, slab, pks, fetched, p)
                 return
             compact = (mode == "compact")
             if len(fetched) == 7:
@@ -521,9 +563,10 @@ class BatchedWindowEngine(WindowEngine):
                     p.obs_params)
                 off += B
 
-    def _finish_slab_stats(self, out, slab, pks, fetched):
+    def _finish_slab_stats(self, out, slab, pks, fetched, params=None):
         """Device-call finish: slice the per-pair stat vectors and the
         per-window fold matrices; no map_state, no host decode."""
+        obs = (self.params if params is None else params).obs_params
         if "packed" in fetched:
             f_plane, m_log_bq, i_plane, b_plane, base, site = [
                 np.asarray(a) for a in fetched["packed"]]
@@ -545,8 +588,7 @@ class BatchedWindowEngine(WindowEngine):
                 for w, (e, pk) in enumerate(zip(slab, pks)):
                     B = pk["hap_len"].shape[0]
                     sl = slice(off, off + B)
-                    view = LiksStats(e["haps"], e["reads"],
-                                     self.params.obs_params,
+                    view = LiksStats(e["haps"], e["reads"], obs,
                                      pk["read_len"], pk["hap_len"],
                                      {k: v[sl] for k, v in st.items()})
                     if do_call:
@@ -571,8 +613,7 @@ class BatchedWindowEngine(WindowEngine):
             for w, (e, pk) in enumerate(zip(slab, pks)):
                 B = pk["hap_len"].shape[0]
                 sl = slice(off, off + B)
-                view = LiksStats(e["haps"], e["reads"],
-                                 self.params.obs_params,
+                view = LiksStats(e["haps"], e["reads"], obs,
                                  pk["read_len"], pk["hap_len"],
                                  {k: v[sl] for k, v in st.items()})
                 if do_call:
@@ -641,7 +682,7 @@ class BatchedWindowEngine(WindowEngine):
         except Exception:
             self._rescue_slab(out, st[0])
 
-    def _drain_for(self, out, mine):
+    def _drain_for(self, out, mine, params=None):
         """Finish every slab belonging to `out` (handed over by
         _flush_begin).  All their results come back in ONE device_get —
         one tunnel round trip per batch instead of one per slab — then
@@ -650,7 +691,11 @@ class BatchedWindowEngine(WindowEngine):
             return
         try:
             with self.stats.stage("slab_fetch"):
-                fetched = jax.device_get([st[3] for _, st in mine])
+                if self.remote is not None:
+                    fetched = self.remote.fetch_pytrees(
+                        [st[3] for _, st in mine])
+                else:
+                    fetched = jax.device_get([st[3] for _, st in mine])
         except Exception:
             # combined fetch failed (a slab's device phase threw):
             # retry slab-by-slab so healthy slabs still land and only
@@ -658,7 +703,7 @@ class BatchedWindowEngine(WindowEngine):
             fetched = [None] * len(mine)
         for (o, st), f in zip(mine, fetched):
             try:
-                self._finish_slab(o, st, fetched=f)
+                self._finish_slab(o, st, fetched=f, params=params)
             except Exception:
                 self._rescue_slab(o, st[0])
 

@@ -44,7 +44,23 @@ def _native():
         if (not so.exists() or
                 (src.exists() and src.stat().st_mtime > so.stat().st_mtime)):
             if src.exists():
-                os.system(f"g++ -O2 -shared -fPIC {src} -o {so} 2>/dev/null")
+                import subprocess
+                import sys
+                try:
+                    r = subprocess.run(
+                        ["g++", "-O2", "-shared", "-fPIC", str(src),
+                         "-o", str(so)],
+                        capture_output=True, text=True)
+                    if r.returncode != 0:
+                        # visible once: the pure-python libstdc++-12
+                        # replica takes over, which is correct but could
+                        # silently diverge from a future host libstdc++
+                        print("WARNING: libdindel_stdsort build failed; "
+                              "using python introsort replica:\n"
+                              + r.stderr[-500:], file=sys.stderr)
+                except FileNotFoundError:
+                    print("WARNING: g++ not found; using python introsort "
+                          "replica for mapQual sort", file=sys.stderr)
         if so.exists():
             try:
                 lib = ctypes.CDLL(str(so))

@@ -395,15 +395,20 @@ def diploid_glf_dev(haps: List[Haplotype], reads: List[Read], stats,
     max_ll_noindel = NEG
     any_valid = bool(valid_pair.any())
     if any_valid:
-        ind_posts = np.where(valid_pair & is_ind, posts_full, NEG)
-        if (valid_pair & is_ind).any():
-            k = int(np.argmax(ind_posts))
-            max_ll_indel = float(ind_posts[k])
+        # argmax over the VALID slots only (first-max = the host
+        # caller's first-valid-pair tie-break): with NEG sentinels in a
+        # full-enumeration argmax, a window whose valid posteriors all
+        # equal NEG would resolve to slot 0 — possibly a filtered pair —
+        # while the host anchor picks the first valid one.
+        ind_idx = np.nonzero(valid_pair & is_ind)[0]
+        if ind_idx.size:
+            k = int(ind_idx[np.argmax(posts_full[ind_idx])])
+            max_ll_indel = float(posts_full[k])
             max_indel_pair = [int(h1v[k]), int(h2v[k])]
-        noind_posts = np.where(valid_pair & ~is_ind, posts_full, NEG)
-        if (valid_pair & ~is_ind).any():
-            k = int(np.argmax(noind_posts))
-            max_ll_noindel = float(noind_posts[k])
+        noind_idx = np.nonzero(valid_pair & ~is_ind)[0]
+        if noind_idx.size:
+            k = int(noind_idx[np.argmax(posts_full[noind_idx])])
+            max_ll_noindel = float(posts_full[k])
             max_noindel_pair = [int(h1v[k]), int(h2v[k])]
 
     # MAP call block ("dip.map" rows, DInDel.cpp:3115-3307)
@@ -645,7 +650,11 @@ def diploid_glf_dev(haps: List[Haplotype], reads: List[Read], stats,
                    realigned_position=p + left_pos,
                    was_candidate_in_window=has_variants_in_window,
                    logZ=maxll, nBQT=n_bqt, nmmBQT=nmm_bqt,
-                   mLogBQ=(m_log_bq / n_bqt) if n_bqt else float("nan"),
+                   # nBQT==0 implies mLogBQ==0.0 (no bases passed the quality
+                   # threshold), and the reference's 0.0/0.0 is the x86
+                   # default QNaN with the SIGN BIT SET — printed "-nan"
+                   # (DInDel.cpp:3635)
+                   mLogBQ=(m_log_bq / n_bqt) if n_bqt else float("-nan"),
                    nMMLeft=n_mm_left, nMMRight=n_mm_right,
                    nref_all=",".join(o_alleles), num_reads=nr, msq=allmsq,
                    numOffAll=num_off_both, num_indel=num_mapped_indels,

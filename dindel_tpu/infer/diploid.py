@@ -400,7 +400,11 @@ def diploid_glf(haps: List[Haplotype], reads: List[Read],
                    realigned_position=p + left_pos,
                    was_candidate_in_window=has_variants_in_window,
                    logZ=maxll, nBQT=n_bqt, nmmBQT=nmm_bqt,
-                   mLogBQ=(m_log_bq / n_bqt) if n_bqt else float("nan"),
+                   # nBQT==0 implies mLogBQ==0.0 (no bases passed the quality
+                   # threshold), and the reference's 0.0/0.0 is the x86
+                   # default QNaN with the SIGN BIT SET — printed "-nan"
+                   # (DInDel.cpp:3635)
+                   mLogBQ=(m_log_bq / n_bqt) if n_bqt else float("-nan"),
                    nMMLeft=n_mm_left, nMMRight=n_mm_right,
                    nref_all=",".join(o_alleles), num_reads=nr, msq=allmsq,
                    numOffAll=num_off_both, num_indel=num_mapped_indels,

@@ -30,8 +30,9 @@ def fmt_g(x) -> str:
     if isinstance(x, int):
         return str(x)
     if isinstance(x, float):
-        if x != x:  # nan
-            return "nan"
+        if x != x:  # nan; glibc prints the sign bit ("-nan" for 0.0/0.0)
+            import math
+            return "-nan" if math.copysign(1.0, x) < 0 else "nan"
         if x == float("inf"):
             return "inf"
         if x == float("-inf"):

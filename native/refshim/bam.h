@@ -90,15 +90,28 @@ static inline uint32_t bam_calend(const bam1_core_t *c, const uint32_t *cigar) {
 typedef int (*bam_fetch_f)(const bam1_t *b, void *data);
 __attribute__((weak)) int (*bam_stub_fetch)(int tid, int beg, int end, void *data, bam_fetch_f func) = 0;
 __attribute__((weak)) bam_header_t *bam_stub_header = 0;
+/* Optional per-file variant: when set, each bam_open() is assigned an
+ * ordinal (0,1,2,... in open order) and fetches pass it through, so a
+ * driver can replay DIFFERENT record streams for the multiple BAM files
+ * of a pooled run (DInDel.cpp:982 fetches via myBams[b]->bf). */
+__attribute__((weak)) int (*bam_stub_fetch_file)(int file_ordinal, int tid, int beg, int end, void *data, bam_fetch_f func) = 0;
+__attribute__((weak)) int bam_stub_open_count = 0;
 
-static inline bamFile bam_open(const char *fn, const char *mode) { (void)fn; (void)mode; return (bamFile)malloc(1); }
+static inline bamFile bam_open(const char *fn, const char *mode) {
+    (void)fn; (void)mode;
+    int *p = (int *)malloc(sizeof(int));
+    *p = bam_stub_open_count++;
+    return (bamFile)p;
+}
 static inline void bam_close(bamFile f) { free(f); }
 static inline bam_header_t *bam_header_read(bamFile f) { (void)f; if (bam_stub_header) return bam_stub_header; return (bam_header_t*)calloc(1, sizeof(bam_header_t)); }
 static inline void bam_header_destroy(bam_header_t *h) { if (h != bam_stub_header) free(h); }
 static inline bam_index_t *bam_index_load(const char *fn) { (void)fn; return (bam_index_t*)calloc(1, sizeof(bam_index_t)); }
 static inline void bam_index_destroy(bam_index_t *i) { free(i); }
 static inline int bam_fetch(bamFile f, const bam_index_t *idx, int tid, int beg, int end, void *data, bam_fetch_f func) {
-    (void)f; (void)idx;
+    (void)idx;
+    if (bam_stub_fetch_file) return bam_stub_fetch_file(*(int *)f, tid, beg, end, data, func);
+    (void)f;
     if (bam_stub_fetch) return bam_stub_fetch(tid, beg, end, data, func);
     abort(); return 0;
 }

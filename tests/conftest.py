@@ -79,7 +79,8 @@ def ref_callers_exe():
         return None
     return _build(
         "ref_callers",
-        [REFSHIM / "callers_driver.cpp", "/root/reference/DInDel.cpp",
+        [REFSHIM / "callers_driver.cpp", REFSHIM / "refshim_defs.cpp",
+         "/root/reference/DInDel.cpp",
          "/root/reference/ObservationModelFB.cpp",
          "/root/reference/HaplotypeDistribution.cpp",
          "/root/reference/HapBlock.cpp", "/root/reference/Faster.cpp"],
@@ -94,11 +95,33 @@ def ref_getreads_exe():
         return None
     return _build(
         "ref_getreads",
-        [REFSHIM / "getreads_driver.cpp", "/root/reference/DInDel.cpp",
+        [REFSHIM / "getreads_driver.cpp", REFSHIM / "refshim_defs.cpp",
+         "/root/reference/DInDel.cpp",
          "/root/reference/ObservationModelFB.cpp",
          "/root/reference/HaplotypeDistribution.cpp",
          "/root/reference/HapBlock.cpp", "/root/reference/Faster.cpp"],
         extra=["-w", "-fpermissive", "-I", "/root/reference/seqan_library"])
+
+
+def ref_window_exe():
+    """Build (if possible) the composed whole-window differential driver
+    (reference detectIndels end-to-end over synthetic bam1_t streams).
+
+    -ftrivial-auto-var-init=zero + the driver's zeroing operator new pin
+    the reference's uninitialized-memory UB (e.g. the --faster path's
+    never-written MLAlignment stat fields, MLAlignment.hpp:35-48) to the
+    defined-behavior zero subset our port implements."""
+    if not Path("/root/reference/DInDel.cpp").exists():
+        return None
+    return _build(
+        "ref_window",
+        [REFSHIM / "window_driver.cpp", REFSHIM / "refshim_defs.cpp",
+         "/root/reference/DInDel.cpp",
+         "/root/reference/ObservationModelFB.cpp",
+         "/root/reference/HaplotypeDistribution.cpp",
+         "/root/reference/HapBlock.cpp", "/root/reference/Faster.cpp"],
+        extra=["-w", "-fpermissive", "-ftrivial-auto-var-init=zero",
+               "-I", "/root/reference/seqan_library"])
 
 
 def ref_faster_exe():

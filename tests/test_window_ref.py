@@ -1,0 +1,234 @@
+"""Composed whole-window differential vs the COMPILED reference.
+
+Runs the reference's own DetInDel::detectIndels (DInDel.cpp:1265-1417)
+end-to-end — getReads -> getHaplotypes -> computeLikelihoods ->
+diploidGLF / estimateHaplotypeFrequenciesBayesEM -> GLF — over synthetic
+bam1_t streams (native/refshim/window_driver.cpp) and asserts OUR
+WindowEngine produces the BYTE-IDENTICAL .glf.txt on the same BAM,
+window file, and parameters: every field of every row, including
+error-path rows (DInDel.cpp:1391-1402) and the float formatting.
+
+This pins the L5 glue (hap-set assembly order/dedup DInDel.cpp:1600-1616,
+empiricalDistributionMethod sequencing :380-640, GLF field population
+:3618-3655) to the reference, not to self-generated goldens."""
+
+import os
+import subprocess
+
+import pytest
+
+from conftest import ref_window_exe
+from dindel_tpu.config import Parameters
+from dindel_tpu.engine.candidates import get_candidates
+from dindel_tpu.engine.window import WindowEngine
+from dindel_tpu.io.bam import BamReader
+from dindel_tpu.io.fasta import FastaFile
+from dindel_tpu.pipeline.windows import make_windows
+from dindel_tpu.sim import PlantedVariant, SimConfig, simulate
+
+
+def serialize_bam_recs(bam_path, file_ordinal=0):
+    lines = []
+    for r in BamReader(bam_path):
+        cig = "".join(f"{ln}{op}" for op, ln in r.cigar) if r.cigar else "*"
+        qs = ",".join(str(b) for b in r.qual)
+        lines.append(f"REC {file_ordinal} {r.qname} {r.flag} {r.pos} "
+                     f"{r.mapq} {r.mtid} {r.mpos} {cig} {r.seq} {qs}")
+    return lines
+
+
+def set_lines(params):
+    """Our Parameters -> reference CLI-name SET lines
+    (getParameters, DInDel.cpp:3908-3977)."""
+    p = params
+    o = p.obs_params
+    f = repr
+    return [
+        f"SET maxHap {p.max_hap}",
+        f"SET maxRead {p.max_reads}",
+        f"SET width {p.width}",
+        f"SET mapQualThreshold {f(float(p.map_qual_threshold))}",
+        f"SET skipMaxHap {p.skip_max_hap}",
+        f"SET minReadOverlap {p.min_read_overlap}",
+        f"SET maxReadLength {p.max_read_length}",
+        f"SET maxHapReadProd {p.max_hap_read_prod}",
+        f"SET priorSNP {f(float(p.prior_snp))}",
+        f"SET priorIndel {f(float(p.prior_indel))}",
+        f"SET bayesa0 {f(float(p.bayes_a0))}",
+        f"SET bayesType {p.bayes_type}",
+        f"SET pError {f(float(o.p_error))}",
+        f"SET pMut {f(float(o.p_mut))}",
+        f"SET maxLengthIndel {o.max_length_indel}",
+        f"SET capMapQualThreshold {f(float(o.map_qual_threshold))}",
+        f"SET capMapQualFast {f(float(o.cap_map_qual_fast))}",
+        f"SET flankRefSeq {o.pad_cover}",
+        f"SET flankMaxMismatch {o.max_mismatch}",
+        f"SET checkAllCIGARs {p.check_all_cigars}",
+        f"SET EMtol {f(float(p.em_tol))}",
+        f"SET noIndelWindow {p.no_indel_window}",
+        f"SET varFileIsOneBased {int(p.var_file_is_one_based)}",
+        f"SET doDiploid {int(p.do_diploid)}",
+        f"SET doPooled {int(p.estimate_hap_freqs)}",
+        f"SET faster {int(not p.slower)}",
+        f"SET filterHaplotypes {int(p.filter_haplotypes)}",
+        f"SET mapUnmapped {int(p.map_unmapped_reads)}",
+        f"SET changeINStoN {int(p.change_ins_to_n)}",
+    ]
+
+
+def run_reference_window(exe, params, fasta_pairs, rec_lines, var_lines,
+                         nbams=1):
+    lines = set_lines(params)
+    for tid, seq in fasta_pairs:
+        lines.append(f"FASTA {tid} {seq}")
+    if nbams != 1:
+        lines.append(f"NBAMS {nbams}")
+    lines += rec_lines
+    lines += [f"VAR {v}" for v in var_lines]
+    lines.append("RUN")
+    out = subprocess.run([str(exe)], input="\n".join(lines) + "\n",
+                         capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, (out.stderr[-3000:], out.stdout[-500:])
+    return [l[2:] for l in out.stdout.splitlines() if l.startswith("G ")]
+
+
+def _sim_window_inputs(tmp_path, seed, variants=None, cfg=None):
+    if variants is None:
+        variants = [PlantedVariant(pos=700, var="-ACG", genotype=1),
+                    PlantedVariant(pos=1400, var="+TT", genotype=2)]
+    if cfg is None:
+        cfg = SimConfig(ref_len=2300, coverage=18, read_len=70)
+    fa, bam = simulate(str(tmp_path / "sim"), variants, cfg, seed=seed)
+    var_file, _ = get_candidates(bam, str(tmp_path / "cand"), fa)
+    win_files = make_windows(var_file, str(tmp_path / "win"))
+    var_lines = []
+    for wf in win_files:
+        var_lines += [l.rstrip("\n") for l in open(wf) if l.strip()]
+    ff = FastaFile(fa)
+    tid0 = ff.order[0]
+    seq = ff.get_sequence(tid0, 1, ff.index[tid0][0])
+    ff.close()
+    return fa, bam, var_lines, tid0, seq
+
+
+def _run_ours(tmp_path, bams, fa, params, var_lines):
+    allv = str(tmp_path / "allwin.txt")
+    with open(allv, "w") as f:
+        f.write("\n".join(var_lines) + "\n")
+    eng = WindowEngine(bams, fa, params, hmm_backend="oracle")
+    glf_path = str(tmp_path / "ours.glf.txt")
+    eng.detect_indels(allv, glf_path)
+    eng.close()
+    return [l.rstrip("\n") for l in open(glf_path)]
+
+
+def _assert_identical(ref_glf, ours):
+    assert len(ref_glf) == len(ours), (len(ref_glf), len(ours),
+                                       ref_glf[:3], ours[:3])
+    for i, (a, b) in enumerate(zip(ref_glf, ours)):
+        assert a == b, f"line {i}:\nref : {a}\nours: {b}"
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_window_diploid_identical(tmp_path, seed):
+    exe = ref_window_exe()
+    if exe is None:
+        pytest.skip("reference sources/toolchain unavailable")
+    fa, bam, var_lines, tid0, seq = _sim_window_inputs(tmp_path, seed)
+    params = Parameters()
+    params.do_diploid = True
+    params.file_name = str(tmp_path / "ours")
+    ref_glf = run_reference_window(exe, params, [(tid0, seq)],
+                                   serialize_bam_recs(bam), var_lines)
+    ours = _run_ours(tmp_path, [bam], fa, params, var_lines)
+    assert any("dip" in l for l in ours)
+    _assert_identical(ref_glf, ours)
+
+
+def test_window_pooled_identical(tmp_path):
+    exe = ref_window_exe()
+    if exe is None:
+        pytest.skip("reference sources/toolchain unavailable")
+    fa, bam, var_lines, tid0, seq = _sim_window_inputs(tmp_path, 13)
+    params = Parameters()
+    params.estimate_hap_freqs = True
+    params.file_name = str(tmp_path / "ours")
+    ref_glf = run_reference_window(exe, params, [(tid0, seq)],
+                                   serialize_bam_recs(bam), var_lines)
+    ours = _run_ours(tmp_path, [bam], fa, params, var_lines)
+    assert any("singlevariant" in l for l in ours)
+    _assert_identical(ref_glf, ours)
+
+
+def test_window_error_paths_identical(tmp_path):
+    """Error-path rows (DInDel.cpp:1391-1402): a window in the uint32
+    fetch dead zone near the contig start (too_few_reads) followed by
+    normal windows, all byte-equal including the msg column."""
+    exe = ref_window_exe()
+    if exe is None:
+        pytest.skip("reference sources/toolchain unavailable")
+    fa, bam, var_lines, tid0, seq = _sim_window_inputs(tmp_path, 5)
+    # prepend a dead-zone window (leftPos < old windows, so it must sort
+    # first; detectIndels exits on unsorted input)
+    var_lines = [f"{tid0} 100 220 160,-A"] + var_lines
+    params = Parameters()
+    params.do_diploid = True
+    params.file_name = str(tmp_path / "ours")
+    ref_glf = run_reference_window(exe, params, [(tid0, seq)],
+                                   serialize_bam_recs(bam), var_lines)
+    ours = _run_ours(tmp_path, [bam], fa, params, var_lines)
+    assert any("error_" in l for l in ours)
+    _assert_identical(ref_glf, ours)
+
+
+def test_window_filterhaps_faster_identical(tmp_path):
+    """--filterHaplotypes + --faster composed path."""
+    exe = ref_window_exe()
+    if exe is None:
+        pytest.skip("reference sources/toolchain unavailable")
+    fa, bam, var_lines, tid0, seq = _sim_window_inputs(tmp_path, 31)
+    params = Parameters()
+    params.do_diploid = True
+    params.slower = False
+    params.filter_haplotypes = True
+    params.file_name = str(tmp_path / "ours")
+    ref_glf = run_reference_window(exe, params, [(tid0, seq)],
+                                   serialize_bam_recs(bam), var_lines)
+    ours = _run_ours(tmp_path, [bam], fa, params, var_lines)
+    _assert_identical(ref_glf, ours)
+
+
+def test_window_multibam_pooled_identical(tmp_path):
+    """Pooled mode over TWO BAM files with different read streams
+    (per-pool GLF rows, indidx column)."""
+    exe = ref_window_exe()
+    if exe is None:
+        pytest.skip("reference sources/toolchain unavailable")
+    import random
+
+    from dindel_tpu.sim import random_ref
+    base_ref = random_ref(random.Random(99), 1800)
+    variants = [PlantedVariant(pos=700, var="-ACG", genotype=1)]
+    cfg = SimConfig(ref_len=1800, coverage=14, read_len=70)
+    fa1, bam1 = simulate(str(tmp_path / "s1"), variants, cfg, seed=3,
+                         ref=base_ref)
+    variants2 = [PlantedVariant(pos=700, var="-ACG", genotype=2)]
+    fa2, bam2 = simulate(str(tmp_path / "s2"), variants2, cfg, seed=4,
+                         ref=base_ref)
+    ff1 = FastaFile(fa1)
+    tid0 = ff1.order[0]
+    seq1 = ff1.get_sequence(tid0, 1, ff1.index[tid0][0])
+    ff1.close()
+    var_file, _ = get_candidates(bam1, str(tmp_path / "cand"), fa1)
+    win_files = make_windows(var_file, str(tmp_path / "win"))
+    var_lines = []
+    for wf in win_files:
+        var_lines += [l.rstrip("\n") for l in open(wf) if l.strip()]
+    params = Parameters()
+    params.estimate_hap_freqs = True
+    params.file_name = str(tmp_path / "ours")
+    recs = serialize_bam_recs(bam1, 0) + serialize_bam_recs(bam2, 1)
+    ref_glf = run_reference_window(exe, params, [(tid0, seq1)], recs,
+                                   var_lines, nbams=2)
+    ours = _run_ours(tmp_path, [bam1, bam2], fa1, params, var_lines)
+    _assert_identical(ref_glf, ours)
