@@ -73,15 +73,26 @@ def main():
     # Isolation also sidesteps a trace-state interaction: after the
     # chained kernel jit below has run, tracing the engine's fused slab
     # program recurses beyond any recursion limit in the same process.
-    wrec = {}
-    try:
+    def run_windows(args_list, env_extra, timeout=1800):
+        env = dict(os.environ)
+        env.update(env_extra)
         out = subprocess.run(
             [sys.executable, str(REPO / "tools" / "bench_windows.py"),
-             "60", "30"],
-            capture_output=True, text=True, timeout=1500)
+             *args_list],
+            capture_output=True, text=True, timeout=timeout, env=env)
         line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() \
             else ""
-        w = json.loads(line)
+        return json.loads(line)
+
+    wrec = {}
+    if os.environ.get("BENCH_SKIP_WINDOWS") == "1":
+        wrec = {"windows_skipped": True}
+        return _kernel_bench(wrec)
+    # 1) headline diploid windows/s: 360 windows (same figure as
+    # tools/bench_windows and README; the old 60-window run read ~10%
+    # low from sim-density effects), warm + cold reported explicitly
+    try:
+        w = run_windows(["360"], {})
         stages = w.get("stage_seconds", {})
         if stages.get("slab_rescues"):
             # device path crashed; the rescue throughput is not the
@@ -99,7 +110,27 @@ def main():
             }
     except Exception as e:
         wrec = {"windows_error": repr(e)[:200]}
+    # 2) pooled-mode windows/s (VB-EM caller incl. the device EM path)
+    try:
+        w = run_windows(["120"], {"BENCH_MODE": "pooled"})
+        if not w.get("stage_seconds", {}).get("slab_rescues"):
+            wrec["pooled_windows_per_sec"] = w.get("value")
+            wrec["pooled_windows_cold_wall_s"] = w.get("cold_wall_s")
+    except Exception as e:
+        wrec["pooled_windows_error"] = repr(e)[:200]
+    # 3) multi-process host staging (parallel/hostshard.py): 4 staging
+    # processes feeding this chip; warm = last repeat
+    try:
+        w = run_windows(["360"], {"BENCH_STAGE_PROCS": "4",
+                                  "BENCH_REPEATS": "3"})
+        wrec["hostshard_windows_per_sec"] = w.get("value")
+        wrec["hostshard_stage_procs"] = 4
+    except Exception as e:
+        wrec["hostshard_windows_error"] = repr(e)[:200]
+    return _kernel_bench(wrec)
 
+
+def _kernel_bench(wrec):
     import numpy as np
     import jax
     import jax.numpy as jnp

@@ -27,6 +27,21 @@ _lib = None
 _lib_tried = False
 
 
+
+def _build_so(cmd_args, so_name):
+    """Build a native helper .so; loud (once) on failure so a silent
+    fallback to a slower/replica path is visible (ADVICE round 4)."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(cmd_args, capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"WARNING: {so_name} build failed; falling back to the "
+                  f"python path:\n" + r.stderr[-500:], file=sys.stderr)
+    except FileNotFoundError:
+        print(f"WARNING: g++ not found; {so_name} unavailable",
+              file=sys.stderr)
+
 def _native_lib():
     global _lib, _lib_tried
     if _lib_tried:
@@ -38,7 +53,8 @@ def _native_lib():
         # try to build it
         src = root / "native" / "nw.cpp"
         if src.exists():
-            os.system(f"g++ -O3 -shared -fPIC {src} -o {so} 2>/dev/null")
+            _build_so(["g++", "-O3", "-shared", "-fPIC", str(src),
+                       "-o", str(so)], so.name)
     if so.exists():
         try:
             lib = ctypes.CDLL(str(so))

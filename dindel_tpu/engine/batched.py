@@ -48,6 +48,11 @@ from .reads import ReadBuffer, WindowError, get_reads
 from .window import WindowEngine
 
 
+# Force the device VB-EM path even under x64 (CI executes the production
+# pooled device path on CPU this way; see tests/test_device_em.py).
+FORCE_DEVICE_EM = False
+
+
 # Shrink the fetch payload: the (B, L_pad) map_state tensor — ~90% of a
 # slab's result bytes through the tunnel — becomes a uint8 hap-position
 # plane plus a bit-packed ins-flag plane (0.53x the bytes).  Valid
@@ -280,6 +285,39 @@ class BatchedWindowEngine(WindowEngine):
         finally:
             pending["fetch_done"].set()
         p = pending["params"]  # per-batch copy; KeyError > silent race
+        # Pooled device EM (VB-EM iteration DInDel.cpp:2431-2523 on
+        # device, infer/device_em): batch every pooled window's active
+        # sets into ONE dispatch; f32 TPU production path only — under
+        # x64 the host numpy loop stays the byte-parity anchor.
+        dev_em = (p.estimate_hap_freqs and self.device_call
+                  and self.remote is None
+                  and (FORCE_DEVICE_EM or not jax.config.jax_enable_x64))
+        if dev_em:
+            from ..infer.device_em import run_batched_em
+            from ..infer.pooled import em_inputs
+            insts, keys = [], []
+            for e in staged:
+                if e["error"] is not None or e.get("skip"):
+                    continue
+                liks = liks_by_idx.get(e["index"])
+                if not (isinstance(liks, tuple) and liks[0] == "dev"):
+                    continue  # rescued slab -> host EM
+                _tag, view, _dev = liks
+                filtered, var_cov = filter_haplotypes_dev(
+                    e["haps"], e["reads"], view, e["ctab"], p,
+                    p.filter_haplotypes)
+                e["_fv"] = (filtered, var_cov)
+                rlT, compat, numah = em_inputs(
+                    e["haps"], e["reads"], view, p, filtered, p.bayes_type)
+                if compat.shape[0]:
+                    insts.append((rlT, compat, numah))
+                    keys.append(e)
+            if insts:
+                with self.stats.stage("device_em"):
+                    res = run_batched_em(insts, p.bayes_a0, p.em_tol,
+                                         dtype=self.np_dtype)
+                for e, r in zip(keys, res):
+                    e["_em_res"] = r
         rows: List[dict] = []
         for e in staged:
             if e["error"] is not None:
@@ -570,6 +608,9 @@ class BatchedWindowEngine(WindowEngine):
         if "packed" in fetched:
             f_plane, m_log_bq, i_plane, b_plane, base, site = [
                 np.asarray(a) for a in fetched["packed"]]
+            i_plane = i_plane.astype(np.int32)
+            b_plane = np.unpackbits(
+                b_plane, axis=1, count=4 + fetched["V"]).astype(bool)
             st = dict(ll=f_plane[:, 0], ll_off=f_plane[:, 1],
                       ll_on=f_plane[:, 2], m_log_bq=m_log_bq,
                       fb=i_plane[:, 0], lb=i_plane[:, 1],
@@ -721,14 +762,16 @@ class BatchedWindowEngine(WindowEngine):
         with self.stats.stage("calling"):
             if dev is not None:
                 ctab = e["ctab"]
-                filtered, var_coverage = filter_haplotypes_dev(
+                fv = e.get("_fv")
+                filtered, var_coverage = fv if fv else filter_haplotypes_dev(
                     haps, reads, liks, ctab, p, p.filter_haplotypes)
                 if p.estimate_hap_freqs:
                     _f, _p, emrows = estimate_hap_freqs_bayes_em(
                         haps, reads, liks, e["pos"], e["left_pos"],
                         e["right_pos"], glf_data, e["index"],
                         e["candidates"], p, filtered, var_coverage,
-                        len(self.bams), p.bayes_type)
+                        len(self.bams), p.bayes_type,
+                        em_results=e.get("_em_res"))
                     rows.extend(emrows)
                 if p.do_diploid:
                     try:

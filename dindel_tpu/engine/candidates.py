@@ -38,7 +38,13 @@ def get_indels_from_cigar(rec: BamRecord) -> List[CIGARindel]:
     l = 0
     for op, ln in rec.cigar:
         seq = ""
-        if op in ("I", "M", "S"):
+        # "=" and "X" are sequence-match/mismatch refinements of "M"
+        # (consume read AND reference).  The reference binary predates
+        # them and ABORTS the whole extraction on such CIGARs
+        # (GetCandidates.cpp:98 "I don't know how to smoke this CIGAR");
+        # we instead process them with M semantics so modern real-world
+        # BAMs work (tests/test_realbam.py).
+        if op in ("I", "M", "S", "=", "X"):
             if op == "I":
                 seq = rec.seq[l:l + ln]
             l += ln
@@ -48,7 +54,7 @@ def get_indels_from_cigar(rec: BamRecord) -> List[CIGARindel]:
             indels.append(CIGARindel(ref_pos, ln, seq))
         elif op == "D":
             indels.append(CIGARindel(ref_pos, -ln, seq))
-        if op in ("M", "D", "N"):
+        if op in ("M", "D", "N", "=", "X"):
             ref_pos += ln
     return indels
 

@@ -237,7 +237,9 @@ class HaplotypeDistribution:
         for op, ln in rec.cigar:
             seq = ""
             typ = T_NORMAL
-            if op in ("I", "M", "S"):
+            # "="/"X" are M refinements; the reference predates them and
+            # errors the window ("I don't know how to smoke this CIGAR")
+            if op in ("I", "M", "S", "=", "X"):
                 seq = rec.seq[l:l + ln]
                 l += ln
             elif op == "D":
@@ -261,7 +263,7 @@ class HaplotypeDistribution:
                     if hb is not None:
                         hb.insert_hap("", T_IN)
             last_pos = ref_pos
-            if op in ("M", "D", "N"):
+            if op in ("M", "D", "N", "=", "X"):
                 ref_pos += ln
             elif op not in ("I", "S", "H"):
                 raise HapGenError("I don't know how to smoke this CIGAR")

@@ -45,6 +45,21 @@ _U32P = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _F64P = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 
 
+
+def _build_so(cmd_args, so_name):
+    """Build a native helper .so; loud (once) on failure so a silent
+    fallback to a slower/replica path is visible (ADVICE round 4)."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(cmd_args, capture_output=True, text=True)
+        if r.returncode != 0:
+            print(f"WARNING: {so_name} build failed; falling back to the "
+                  f"python path:\n" + r.stderr[-500:], file=sys.stderr)
+    except FileNotFoundError:
+        print(f"WARNING: g++ not found; {so_name} unavailable",
+              file=sys.stderr)
+
 def native_lib():
     """Load (building if needed) libdindel_hapdist.so; None if unavailable."""
     global _lib, _lib_tried
@@ -60,7 +75,8 @@ def native_lib():
         if (not so.exists() or
                 (src.exists() and src.stat().st_mtime > so.stat().st_mtime)):
             if src.exists():
-                os.system(f"g++ -O2 -shared -fPIC {src} -o {so} 2>/dev/null")
+                _build_so(["g++", "-O2", "-shared", "-fPIC", str(src),
+                           "-o", str(so)], so.name)
         if so.exists():
             try:
                 lib = ctypes.CDLL(str(so))

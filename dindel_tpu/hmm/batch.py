@@ -795,11 +795,16 @@ def _finish_stats_call(H_pad, L_pad, numT, V, W, NH, S, NR, exact_ties,
         base = jnp.zeros((0,), pair_pr.dtype)
         site = jnp.zeros((0,), pair_pr.dtype)
     f_plane = jnp.stack([ll, ll_off, ll_on], axis=1)
+    # Fetch diet (the axon tunnel moves ~30 MB/s): the count stats all
+    # fit int16 (bounded by L_pad <= 512), and the flag plane bitpacks
+    # 8x; _finish_slab_stats reverses both exactly.
     i_plane = jnp.stack([fb, lb, n_bqt, n_mm_bqt, n_mm_left, n_mm_right,
-                         num_mm, n_ind], axis=1)
-    b_plane = jnp.concatenate(
-        [jnp.stack([off_hap, off_hap_hmq, has_event, any_mism], axis=1),
-         cov_ok], axis=1)
+                         num_mm, n_ind], axis=1).astype(jnp.int16)
+    b_plane = jnp.packbits(
+        jnp.concatenate(
+            [jnp.stack([off_hap, off_hap_hmq, has_event, any_mism],
+                       axis=1), cov_ok], axis=1).astype(jnp.uint8),
+        axis=1)
     return f_plane, m_log_bq, i_plane, b_plane, base, site
 
 

@@ -78,6 +78,18 @@ def _fold_fast(dest_v, dest_c, cand_v, cand_c):
     return jnp.where(take, cand_v, dest_v), jnp.where(take, cand_c, dest_c)
 
 
+def _fold_ge(dest_v, dest_c, cand_v, cand_c):
+    """Half-cost fast fold: candidates are folded in ASCENDING rank
+    order, so a value-only `>=` keeps the higher rank on exact ties —
+    the same lexicographic (value, rank) max as _fold_fast (which is
+    fold-order independent when ranks are distinct) without the
+    class-plane compare chain.  The fold arithmetic is the measured
+    kernel bottleneck (PERF_NOTES round 4), so halving the per-fold op
+    count is the ~1.5x MFU lever."""
+    take = cand_v >= dest_v
+    return jnp.where(take, cand_v, dest_v), jnp.where(take, cand_c, dest_c)
+
+
 def _roll_right(x, y, fill):
     """out[l] = x[l-y] for l>=y else fill (lane axis)."""
     lane = lax.broadcasted_iota(jnp.int32, x.shape, 1)
@@ -267,42 +279,83 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
             WnH = jnp.sum(Wn * maskH, axis=1, keepdims=True)
             WiH = jnp.sum(Wi * maskH, axis=1, keepdims=True)
 
-            # dest RO fold (4 candidates in reference order); rank order
-            # (descending src index): ins RO(0) > ins hl(1) > noins RO(2)
-            # > noins hl(3)
-            dRO_v = WnRO + (logpLOgLO + logpNoInsgNoIns)
-            dRO_c = jnp.full((TB, 1), 2, jnp.int32)
-            dRO_v, dRO_c = _fold(dRO_v, dRO_c,
-                                 WnH + (logpFirstgLO + logpNoInsgNoIns), 3)
-
-            # dest x deletion/match candidates; interior ranks: ins exit
-            # x-1(0) > self x(1) > del src x-y(1+y)
-            dx_v = jnp.full((TB, SP), NEGBIG, Wn.dtype)
-            dx_c = jnp.full((TB, SP), 1, jnp.int32)
-            for y in range(1, numT):
-                src = _roll_right(Wn, y, Wn0)
-                dx_v, dx_c = _fold(dx_v, dx_c, src + dec_lp[y - 1] + lpn,
-                                   1 + y)
-
-            d0_v = Wn0 + logpNoInsgNoIns
-
-            dRO_v, dRO_c = _fold(dRO_v, dRO_c,
-                                 WiRO + logpLOgLO + lpeROv, 0)
-            dRO_v, dRO_c = _fold(dRO_v, dRO_c,
-                                 WiH + logpFirstgLO + lpeH, 1)
-
-            # insertion exit onto hap: src ins(x-1)
-            srcWi = _roll_right(Wi, 1, Wi[:, 0:1])
-            dx_v, dx_c = _fold(dx_v, dx_c, srcWi + lpe, 0)
-
-            # insertion lanes: extension assign then open fold (x >= 1);
-            # ranks: self ins x(0) > noins x(1)
-            di_v = Wi + logpInsgIns
-            di_c = jnp.zeros((TB, SP), jnp.int32)
             open_ok = lane >= 1
-            di_v, di_c = _fold(di_v, di_c,
-                               jnp.where(open_ok, Wn + logpNoInsgIns, NEGBIG),
-                               jnp.where(open_ok, 1, 0))
+            if exact_ties:
+                # EPS/TIE-band fold: order-dependent, keep the exact
+                # reference candidate sequence.
+                # dest RO fold (4 candidates in reference order); rank
+                # order (descending src index): ins RO(0) > ins hl(1) >
+                # noins RO(2) > noins hl(3)
+                dRO_v = WnRO + (logpLOgLO + logpNoInsgNoIns)
+                dRO_c = jnp.full((TB, 1), 2, jnp.int32)
+                dRO_v, dRO_c = _fold(dRO_v, dRO_c,
+                                     WnH + (logpFirstgLO + logpNoInsgNoIns),
+                                     3)
+
+                # dest x deletion/match candidates; interior ranks: ins
+                # exit x-1(0) > self x(1) > del src x-y(1+y)
+                dx_v = jnp.full((TB, SP), NEGBIG, Wn.dtype)
+                dx_c = jnp.full((TB, SP), 1, jnp.int32)
+                for y in range(1, numT):
+                    src = _roll_right(Wn, y, Wn0)
+                    dx_v, dx_c = _fold(dx_v, dx_c,
+                                       src + dec_lp[y - 1] + lpn, 1 + y)
+
+                d0_v = Wn0 + logpNoInsgNoIns
+
+                dRO_v, dRO_c = _fold(dRO_v, dRO_c,
+                                     WiRO + logpLOgLO + lpeROv, 0)
+                dRO_v, dRO_c = _fold(dRO_v, dRO_c,
+                                     WiH + logpFirstgLO + lpeH, 1)
+
+                # insertion exit onto hap: src ins(x-1)
+                srcWi = _roll_right(Wi, 1, Wi[:, 0:1])
+                dx_v, dx_c = _fold(dx_v, dx_c, srcWi + lpe, 0)
+
+                # insertion lanes: extension assign then open fold
+                # (x >= 1); ranks: self ins x(0) > noins x(1)
+                di_v = Wi + logpInsgIns
+                di_c = jnp.zeros((TB, SP), jnp.int32)
+                di_v, di_c = _fold(di_v, di_c,
+                                   jnp.where(open_ok, Wn + logpNoInsgIns,
+                                             NEGBIG),
+                                   jnp.where(open_ok, 1, 0))
+            else:
+                # Fast fold, restructured: same candidates, ASCENDING
+                # rank order, value-only >= compare (_fold_ge) — result
+                # bit-identical to the _fold_fast ordering above.
+                dRO_v = WiRO + logpLOgLO + lpeROv          # rank 0
+                dRO_c = jnp.zeros((TB, 1), jnp.int32)
+                dRO_v, dRO_c = _fold_ge(dRO_v, dRO_c,
+                                        WiH + logpFirstgLO + lpeH, 1)
+                dRO_v, dRO_c = _fold_ge(
+                    dRO_v, dRO_c, WnRO + (logpLOgLO + logpNoInsgNoIns), 2)
+                dRO_v, dRO_c = _fold_ge(
+                    dRO_v, dRO_c, WnH + (logpFirstgLO + logpNoInsgNoIns), 3)
+
+                # interior: ins exit (0), then the NEGBIG self filler
+                # (1) — reproduces the exact-path init, including its
+                # class when every candidate value rounds to <= NEGBIG —
+                # then del/match candidates ranks 2..numT
+                srcWi = _roll_right(Wi, 1, Wi[:, 0:1])
+                dx_v = srcWi + lpe
+                dx_c = jnp.zeros((TB, SP), jnp.int32)
+                dx_v, dx_c = _fold_ge(dx_v, dx_c,
+                                      jnp.full((TB, SP), NEGBIG, Wn.dtype),
+                                      1)
+                for y in range(1, numT):
+                    src = _roll_right(Wn, y, Wn0)
+                    dx_v, dx_c = _fold_ge(dx_v, dx_c,
+                                          src + dec_lp[y - 1] + lpn, 1 + y)
+
+                d0_v = Wn0 + logpNoInsgNoIns
+
+                di_v = Wi + logpInsgIns                    # rank 0
+                di_c = jnp.zeros((TB, SP), jnp.int32)
+                di_v, di_c = _fold_ge(
+                    di_v, di_c,
+                    jnp.where(open_ok, Wn + logpNoInsgIns, NEGBIG),
+                    jnp.where(open_ok, 1, 0))
 
             noins_v = jnp.where(is0, d0_v, jnp.where(isRO, dRO_v, dx_v))
             noins_c = jnp.where(is0, 1, jnp.where(isRO, dRO_c, dx_c))
@@ -351,47 +404,89 @@ def _make_kernel(H_pad, L_pad, L_act, numT, scal, exact_ties, TB,
             Wn0 = Wn[:, 0:1]
             Wn1 = Wn[:, 1:2]
 
-            # noins ranks (descending src index): ins x(0) > del src
-            # clamp(x+y)(numT-y) > self x(numT).  Clamped deletion jumps
-            # share src RO with distinct ranks — same reconstructed index,
-            # and never value-tied within TIE (see _fold_exact docstring).
-            # dest 0 fold
-            d0_v = Wn0 + (logpLOgLO + logpNoInsgNoIns)
-            d0_c = jnp.full((TB, 1), numT, jnp.int32)
-            d0_v, d0_c = _fold(d0_v, d0_c,
-                               Wn1 + (logpFirstgLO + logpNoInsgNoIns),
-                               numT - 1)
+            if exact_ties:
+                # noins ranks (descending src index): ins x(0) > del src
+                # clamp(x+y)(numT-y) > self x(numT).  Clamped deletion
+                # jumps share src RO with distinct ranks — same
+                # reconstructed index, and never value-tied within TIE
+                # (see _fold_exact docstring).
+                # dest 0 fold
+                d0_v = Wn0 + (logpLOgLO + logpNoInsgNoIns)
+                d0_c = jnp.full((TB, 1), numT, jnp.int32)
+                d0_v, d0_c = _fold(d0_v, d0_c,
+                                   Wn1 + (logpFirstgLO + logpNoInsgNoIns),
+                                   numT - 1)
 
-            dx_v = jnp.full((TB, SP), NEGBIG, Wn.dtype)
-            dx_c = jnp.full((TB, SP), numT, jnp.int32)
-            for y in range(1, numT):
-                clamped = (lane + y) <= hl
-                srcW = jnp.where(clamped, _roll_left(Wn, y), WnRO)
-                dx_v, dx_c = _fold(dx_v, dx_c, inc_cost[y - 1] + srcW,
-                                   numT - y)
+                dx_v = jnp.full((TB, SP), NEGBIG, Wn.dtype)
+                dx_c = jnp.full((TB, SP), numT, jnp.int32)
+                for y in range(1, numT):
+                    clamped = (lane + y) <= hl
+                    srcW = jnp.where(clamped, _roll_left(Wn, y), WnRO)
+                    dx_v, dx_c = _fold(dx_v, dx_c, inc_cost[y - 1] + srcW,
+                                       numT - y)
 
-            dRO_v = WnRO + lpnROv
-            dRO_c = jnp.full((TB, 1), numT, jnp.int32)
+                dRO_v = WnRO + lpnROv
+                dRO_c = jnp.full((TB, 1), numT, jnp.int32)
 
-            # insertion open: dest x <- src ins x, cost lpe[x+1] (0 at RO)
-            cand = Wi + lpe_x1
-            dx_v, dx_c = _fold(dx_v, dx_c, cand, 0)
-            d0_v, d0_c = _fold(d0_v, d0_c, cand[:, 0:1], 0)
-            dRO_v, dRO_c = _fold(dRO_v, dRO_c, cand[:, RO:RO + 1], 0)
+                # insertion open: dest x <- src ins x, cost lpe[x+1]
+                # (0 at RO)
+                cand = Wi + lpe_x1
+                dx_v, dx_c = _fold(dx_v, dx_c, cand, 0)
+                d0_v, d0_c = _fold(d0_v, d0_c, cand[:, 0:1], 0)
+                dRO_v, dRO_c = _fold(dRO_v, dRO_c, cand[:, RO:RO + 1], 0)
 
-            # insertion lanes: extension assign, then one exit/open fold.
-            # Lane 0's candidate is (Wn[0] + logpNoInsgIns, idx 0)
-            # (FBMaxErr::passMessageTwoInc step 6 first line); lanes >= 1
-            # exit to noins clamp(x+1).  A single lane-selected fold keeps
-            # Mosaic happy (a where-merge of fold-output slices crashes its
-            # layout inference).  ins ranks: self ins x(0) > noins 0 at
-            # lane 0(1) / noins clamp(x+1)(2).
-            di_v = Wi + logpInsgIns
-            di_c = jnp.zeros((TB, SP), jnp.int32)
-            srcW1 = jnp.where(clamped1, _roll_left(Wn, 1), WnRO)
-            cand_v = jnp.where(is0, Wn0, srcW1) + logpNoInsgIns
-            cand_c = jnp.where(is0, 1, 2)
-            di_v, di_c = _fold(di_v, di_c, cand_v, cand_c)
+                # insertion lanes: extension assign, then one exit/open
+                # fold.  Lane 0's candidate is (Wn[0] + logpNoInsgIns,
+                # idx 0) (FBMaxErr::passMessageTwoInc step 6 first line);
+                # lanes >= 1 exit to noins clamp(x+1).  A single
+                # lane-selected fold keeps Mosaic happy (a where-merge of
+                # fold-output slices crashes its layout inference).  ins
+                # ranks: self ins x(0) > noins 0 at lane 0(1) / noins
+                # clamp(x+1)(2).
+                di_v = Wi + logpInsgIns
+                di_c = jnp.zeros((TB, SP), jnp.int32)
+                srcW1 = jnp.where(clamped1, _roll_left(Wn, 1), WnRO)
+                cand_v = jnp.where(is0, Wn0, srcW1) + logpNoInsgIns
+                cand_c = jnp.where(is0, 1, 2)
+                di_v, di_c = _fold(di_v, di_c, cand_v, cand_c)
+            else:
+                # Fast fold, ascending rank + value-only >= (_fold_ge);
+                # bit-identical to the _fold_fast ordering above.
+                cand = Wi + lpe_x1                          # rank 0
+                dx_v = cand
+                dx_c = jnp.zeros((TB, SP), jnp.int32)
+                # del ranks 1..numT-1 ascending means y DESCENDING
+                for y in range(numT - 1, 0, -1):
+                    clamped = (lane + y) <= hl
+                    srcW = jnp.where(clamped, _roll_left(Wn, y), WnRO)
+                    dx_v, dx_c = _fold_ge(dx_v, dx_c,
+                                          inc_cost[y - 1] + srcW, numT - y)
+                # self filler last (rank numT) — reproduces the
+                # exact-path NEGBIG init, class included
+                dx_v, dx_c = _fold_ge(dx_v, dx_c,
+                                      jnp.full((TB, SP), NEGBIG, Wn.dtype),
+                                      numT)
+
+                d0_v = cand[:, 0:1]                         # rank 0
+                d0_c = jnp.zeros((TB, 1), jnp.int32)
+                d0_v, d0_c = _fold_ge(d0_v, d0_c,
+                                      Wn1 + (logpFirstgLO
+                                             + logpNoInsgNoIns),
+                                      numT - 1)
+                d0_v, d0_c = _fold_ge(d0_v, d0_c,
+                                      Wn0 + (logpLOgLO + logpNoInsgNoIns),
+                                      numT)
+
+                dRO_v = cand[:, RO:RO + 1]                  # rank 0
+                dRO_c = jnp.zeros((TB, 1), jnp.int32)
+                dRO_v, dRO_c = _fold_ge(dRO_v, dRO_c, WnRO + lpnROv, numT)
+
+                di_v = Wi + logpInsgIns                     # rank 0
+                di_c = jnp.zeros((TB, SP), jnp.int32)
+                srcW1 = jnp.where(clamped1, _roll_left(Wn, 1), WnRO)
+                cand_v = jnp.where(is0, Wn0, srcW1) + logpNoInsgIns
+                cand_c = jnp.where(is0, 1, 2)
+                di_v, di_c = _fold_ge(di_v, di_c, cand_v, cand_c)
 
             noins_v = jnp.where(is0, d0_v, jnp.where(isRO, dRO_v, dx_v))
             noins_c = jnp.where(is0, d0_c, jnp.where(isRO, dRO_c, dx_c))

@@ -59,32 +59,10 @@ def _var_log_prior(av_list, candidates: AlignedCandidates, left_pos: int,
     return lp
 
 
-def estimate_hap_freqs_bayes_em(
-        haps: List[Haplotype], reads: List[Read],
-        liks: List[List[MLAlignment]], cand_pos: int, left_pos: int,
-        right_pos: int, glf_data: Optional[OutputData], index: int,
-        candidates: AlignedCandidates, params: Parameters,
-        filtered: List[int],
-        var_coverage: Dict[Tuple[int, str], Tuple[int, int]],
-        num_bams: int, program: str = "all"):
-    """Returns (hap_freqs, posteriors, rows). posteriors: list of
-    (variant, pos, prob, freq, nf, nr) — HapEstResult mirror."""
-    import numpy as np
-    from .arrays import LiksArrays, add_logs_arr, seq_sum
 
-    nh = len(haps)
-    nr = len(reads)
-    rows: List[dict] = []
-
-    A = LiksArrays(liks, haps, reads, params)
-    rlT = A.ll.T  # (nr, nh): the reference's rl[r*nh+h]
-
-    off_all_v = A.off.all(axis=0)
-    unmapped_v = np.array([r.is_unmapped for r in reads], bool)
-    num_read_off_all = int(off_all_v.sum())
-    num_unmapped_realigned = int((~off_all_v & unmapped_v).sum())
-
-    # collect variants
+def _collect_variants(haps):
+    """Distinct real variants over the hap set, in (pos, str) order
+    (DInDel.cpp:2145-2174)."""
     all_variants: List[Tuple[int, AlignedVariant]] = []
     seen: Set[Tuple[int, str]] = set()
     for hap in haps:
@@ -96,13 +74,16 @@ def estimate_hap_freqs_bayes_em(
     all_by_pos: Dict[int, List[Tuple[int, AlignedVariant]]] = {}
     for p, av in all_variants:
         all_by_pos.setdefault(p, []).append((p, av))
-    nv = len(all_variants)
+    return all_variants, all_by_pos
 
-    # active-variant sets per program (DInDel.cpp:2176-2289)
+
+def _build_active_sets(haps, filtered, program, all_variants, all_by_pos):
+    """Active-variant sets per program (DInDel.cpp:2176-2289)."""
     active_sets: List[Set[Tuple[int, str]]] = []
     active_snps: List[List[AlignedVariant]] = []
     active_indels: List[List[AlignedVariant]] = []
     av_by_key = {(p, av.str): av for p, av in all_variants}
+    nh = len(haps)
 
     def split_set(s: Set[Tuple[int, str]]):
         snps = sorted(k for k in s if av_by_key[k].is_snp)
@@ -149,6 +130,89 @@ def estimate_hap_freqs_bayes_em(
                 active_indels.append(ind)
     else:
         raise ValueError("Unknown EM option")
+    return active_sets, active_snps, active_indels
+
+
+def _compat_for(haps, filtered, active_set):
+    """Haplotype-compatibility mask for one active set
+    (DInDel.cpp:2407-2429)."""
+    nh = len(haps)
+    compatible = [1] * nh
+    numah = 0
+    for h in range(nh):
+        if filtered[h]:
+            compatible[h] = 0
+        else:
+            for p, av in haps[h].indels.items():
+                if _is_real_variant(av) and (p, av.str) not in active_set:
+                    compatible[h] = 0
+                    break
+        if compatible[h]:
+            numah += 1
+    return compatible, numah
+
+
+def em_inputs(haps, reads, liks, params, filtered, program):
+    """Per-window inputs for the batched device EM
+    (infer/device_em.run_batched_em): (rlT (nr, nh) float array,
+    compat (nav, nh) bool, numah (nav,)).  Same active-set enumeration
+    as estimate_hap_freqs_bayes_em, so device results align 1:1 with
+    its th loop."""
+    import numpy as np
+
+    from .arrays import LiksArrays
+
+    A = LiksArrays(liks, haps, reads, params)
+    rlT = A.ll.T
+    all_variants, all_by_pos = _collect_variants(haps)
+    active_sets, _sn, _ind = _build_active_sets(
+        haps, filtered, program, all_variants, all_by_pos)
+    nav = len(active_sets)
+    nh = len(haps)
+    compat = np.zeros((nav, nh), bool)
+    numah = np.zeros(nav, np.float64)
+    for a in range(nav):
+        c, na = _compat_for(haps, filtered, active_sets[a])
+        compat[a] = np.array(c, bool)
+        numah[a] = na
+    return rlT, compat, numah
+
+
+def estimate_hap_freqs_bayes_em(
+        haps: List[Haplotype], reads: List[Read],
+        liks: List[List[MLAlignment]], cand_pos: int, left_pos: int,
+        right_pos: int, glf_data: Optional[OutputData], index: int,
+        candidates: AlignedCandidates, params: Parameters,
+        filtered: List[int],
+        var_coverage: Dict[Tuple[int, str], Tuple[int, int]],
+        num_bams: int, program: str = "all", em_results=None):
+    """Returns (hap_freqs, posteriors, rows). posteriors: list of
+    (variant, pos, prob, freq, nf, nr) — HapEstResult mirror.
+
+    em_results: optional device-EM output (infer/device_em) — a list of
+    (loglik, pi) per active set in th order; when given, the host EM
+    while-loop is skipped (f32 TPU production path; the host loop stays
+    the byte-parity anchor)."""
+    import numpy as np
+    from .arrays import LiksArrays, add_logs_arr, seq_sum
+
+    nh = len(haps)
+    nr = len(reads)
+    rows: List[dict] = []
+
+    A = LiksArrays(liks, haps, reads, params)
+    rlT = A.ll.T  # (nr, nh): the reference's rl[r*nh+h]
+
+    off_all_v = A.off.all(axis=0)
+    unmapped_v = np.array([r.is_unmapped for r in reads], bool)
+    num_read_off_all = int(off_all_v.sum())
+    num_unmapped_realigned = int((~off_all_v & unmapped_v).sum())
+
+    # collect variants + active-variant sets (DInDel.cpp:2145-2289)
+    all_variants, all_by_pos = _collect_variants(haps)
+    nv = len(all_variants)
+    active_sets, active_snps, active_indels = _build_active_sets(
+        haps, filtered, program, all_variants, all_by_pos)
     nav = len(active_sets)
 
     active = [[0] * nv for _ in range(nav)]
@@ -173,18 +237,18 @@ def estimate_hap_freqs_bayes_em(
         logprior += _var_log_prior(active_indels[th], candidates, left_pos, params)
         logpriors[th] = logprior
 
-        compatible = [1] * nh
-        numah = 0
-        for h in range(nh):
-            if filtered[h]:
-                compatible[h] = 0
-            else:
-                for p, av in haps[h].indels.items():
-                    if _is_real_variant(av) and (p, av.str) not in active_sets[th]:
-                        compatible[h] = 0
-                        break
-            if compatible[h]:
-                numah += 1
+        compatible, numah = _compat_for(haps, filtered, active_sets[th])
+
+        if em_results is not None:
+            # device EM (infer/device_em) already ran this set
+            loglik, pi = em_results[th]
+            pi = np.asarray(pi, np.float64)
+            zsum = sum(math.exp(x) for x in pi)
+            logliks[th] = loglik
+            logz = add_logs(logz, logliks[th] + logprior)
+            for h in range(nh):
+                freqs[th][h] = math.exp(pi[h]) / zsum
+            continue
 
         # VB-EM (DInDel.cpp:2411-2523), vectorized over (reads, haps) with
         # the reference's accumulation orders: lognorm folds over h in

@@ -114,7 +114,10 @@ class DeviceServer:
         raise ValueError(f"unknown dispatch kind {kind}")
 
     def _serve(self, conn: socket.socket):
+        import time
+
         import jax
+        trace = os.environ.get("DINDEL_DEVSERVER_TRACE") == "1"
         results: Dict[int, Any] = {}
         try:
             while True:
@@ -122,21 +125,34 @@ class DeviceServer:
                 op = msg[0]
                 if op == "dispatch":
                     _, rid, kind, payload = msg
+                    t0 = time.perf_counter()
                     try:
                         results[rid] = self._run(kind, payload)
                     except Exception as e:  # ship the fault to the client
                         results[rid] = ("__error__", repr(e))
+                    if trace:
+                        print(f"[devsrv] dispatch {rid} {kind} "
+                              f"{time.perf_counter() - t0:.3f}s", flush=True)
                 elif op == "fetch":
                     _, rids = msg
-                    out = []
-                    for rid in rids:
-                        res = results.pop(rid)
-                        if (isinstance(res, tuple) and len(res) == 2
-                                and res[0] == "__error__"):
-                            out.append(res)
-                        else:
-                            out.append(jax.device_get(res))
+                    # ONE combined device_get for every requested slab:
+                    # per-slab fetches each pay the full tunnel latency
+                    # (measured 66 -> 13 windows/s when this looped)
+                    t0 = time.perf_counter()
+                    pending = [results.pop(rid) for rid in rids]
+                    ok_idx = [i for i, r in enumerate(pending)
+                              if not (isinstance(r, tuple) and len(r) == 2
+                                      and r[0] == "__error__")]
+                    fetched = jax.device_get([pending[i] for i in ok_idx])
+                    t1 = time.perf_counter()
+                    out = list(pending)
+                    for i, f in zip(ok_idx, fetched):
+                        out[i] = f
                     _send_msg(conn, out)
+                    if trace:
+                        print(f"[devsrv] fetch {rids} get="
+                              f"{t1 - t0:.3f}s send="
+                              f"{time.perf_counter() - t1:.3f}s", flush=True)
                 elif op == "bye":
                     return
         except (ConnectionError, EOFError):
@@ -233,7 +249,8 @@ class DeviceProxy:
 def _staging_main(sock_path: str, bam_paths: List[str], fasta_path: str,
                   params_bytes: bytes, win_files: List[str],
                   glf_paths: List[str], engine_kw: dict,
-                  err_path: str, enable_x64: bool) -> None:
+                  err_path: str, enable_x64: bool,
+                  repeats: int = 1) -> None:
     """Entry point of one staging process (forced onto CPU so it never
     touches the device; all device work goes via the proxy).  x64 is
     inherited from the parent so the host-vs-device fold routing — and
@@ -248,8 +265,26 @@ def _staging_main(sock_path: str, bam_paths: List[str], fasta_path: str,
         proxy = DeviceProxy(sock_path)
         eng = BatchedWindowEngine([p for p in bam_paths], fasta_path, params,
                                   remote=proxy, **engine_kw)
-        for wf, gp in zip(win_files, glf_paths):
-            eng.detect_indels(wf, gp)
+        # per-process timing that EXCLUDES interpreter/jax startup, for
+        # honest multi-process windows/s numbers (tools/bench_windows)
+        import json
+        import time
+        t0 = time.time()
+        marks = []
+        for _ in range(repeats):
+            r0 = time.time()
+            w0 = eng.stats.windows_ok
+            for wf, gp in zip(win_files, glf_paths):
+                eng.detect_indels(wf, gp)
+            marks.append(dict(t0=r0, t1=time.time(),
+                              windows=eng.stats.windows_ok - w0))
+        t1 = time.time()
+        with open(err_path + ".stats", "w") as f:
+            json.dump(dict(t_start=t0, t_end=t1, repeats=marks,
+                           windows_ok=eng.stats.windows_ok,
+                           windows_total=eng.stats.windows_total,
+                           stage_seconds=dict(eng.stats.stage_seconds)),
+                      f)
         eng.close()
         proxy.close()
     except Exception:
@@ -262,7 +297,9 @@ def _staging_main(sock_path: str, bam_paths: List[str], fasta_path: str,
 def run_hostshard(bam_paths: List[str], fasta_path: str, params,
                   win_files: List[str], out_glf: str, n_procs: int = 4,
                   engine_kw: Optional[dict] = None,
-                  sock_path: Optional[str] = None) -> List[str]:
+                  sock_path: Optional[str] = None,
+                  repeats: int = 1, stats_out: Optional[dict] = None
+                  ) -> List[str]:
     """Run the window files through n_procs staging processes feeding
     this process's device, then concatenate the per-shard GLF files into
     out_glf (single header, shard rows in window-file order — byte-equal
@@ -296,7 +333,7 @@ def run_hostshard(bam_paths: List[str], fasta_path: str, params,
                 target=_staging_main,
                 args=(sock_path, bam_paths, fasta_path,
                       _p.dumps(params), files, [glf_of[f] for f in files],
-                      engine_kw, err, enable_x64))
+                      engine_kw, err, enable_x64, repeats))
             p.start()
             procs.append(p)
         for p in procs:
@@ -311,6 +348,27 @@ def run_hostshard(bam_paths: List[str], fasta_path: str, params,
             if p.is_alive():
                 p.terminate()
         server.close()
+
+    if stats_out is not None:
+        import json
+        stats = []
+        for err in err_paths:
+            sp = err + ".stats"
+            if os.path.exists(sp):
+                stats.append(json.load(open(sp)))
+        if stats:
+            stats_out["t_start"] = min(st["t_start"] for st in stats)
+            stats_out["t_end"] = max(st["t_end"] for st in stats)
+            stats_out["windows_ok"] = sum(st["windows_ok"] for st in stats)
+            # warm = the LAST repeat across all procs (cold compiles and
+            # tracing land in the first repeat)
+            last = [st["repeats"][-1] for st in stats
+                    if st.get("repeats")]
+            if last:
+                stats_out["warm_span_s"] = (max(m["t1"] for m in last)
+                                            - min(m["t0"] for m in last))
+                stats_out["warm_windows"] = sum(m["windows"] for m in last)
+            stats_out["per_proc"] = stats
 
     # ordered merge: header from the first shard, then every shard's
     # data rows in window-file order

@@ -245,7 +245,9 @@ struct HapDist {
       int64_t ln = cig[k] >> 4;
       std::string seq;
       int typ = T_NORMAL;
-      if (op == 'I' || op == 'M' || op == 'S') {
+      // '='/'X' are M refinements (the reference binary errors on
+      // them, GetCandidates.cpp:98); process with M semantics
+      if (op == 'I' || op == 'M' || op == 'S' || op == '=' || op == 'X') {
         int64_t lo = l < rseq_len ? l : rseq_len;
         int64_t hi = l + ln < rseq_len ? l + ln : rseq_len;  // slice clamp
         seq.assign(rseq + lo, rseq + hi);
@@ -271,7 +273,8 @@ struct HapDist {
           it->second.insert_hap("", T_IN);
       }
       last_pos = ref_pos;
-      if (op == 'M' || op == 'D' || op == 'N') ref_pos += ln;
+      if (op == 'M' || op == 'D' || op == 'N' || op == '=' || op == 'X')
+        ref_pos += ln;
       else if (op != 'I' && op != 'S' && op != 'H') return E_SMOKE_CIGAR;
       lastop = op;
     }

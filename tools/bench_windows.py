@@ -63,8 +63,60 @@ def main():
     win_files = make_windows(var_file, str(Path(d) / "win"))
     on_tpu = jax.devices()[0].platform != "cpu"
 
+    # Multi-process host staging mode (parallel/hostshard.py):
+    # BENCH_STAGE_PROCS=N shards the windows into ~N*3 files, runs N
+    # staging processes feeding this process's device, and reports
+    # windows/s over the in-children span (excludes interpreter spawn).
+    procs = int(os.environ.get("BENCH_STAGE_PROCS", "0"))
+    if procs:
+        from dindel_tpu.parallel.hostshard import run_hostshard
+        win_files = make_windows(var_file, str(Path(d) / "winsh"),
+                                 variants_per_file=max(
+                                     4, n_var // (procs * 3)))
+        params = Parameters()
+        if os.environ.get("BENCH_MODE", "dip") == "pooled":
+            params.estimate_hap_freqs = True
+        else:
+            params.do_diploid = True
+        params.file_name = str(Path(d) / "out")
+        kw = dict(
+            batch_windows=int(os.environ.get("BENCH_BATCH_WINDOWS", "128")),
+            max_pairs_per_slab=int(os.environ.get("BENCH_MAX_PAIRS", "24576")),
+            dp_impl="pallas" if on_tpu else "xla",
+            dtype=np.float32)
+        repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+        t0 = time.perf_counter()
+        st: dict = {}
+        run_hostshard([bam], fa, params, win_files,
+                      str(Path(d) / "out.glf.txt"), n_procs=procs,
+                      engine_kw=kw, repeats=repeats, stats_out=st)
+        wall = time.perf_counter() - t0
+        span = st["t_end"] - st["t_start"]
+        warm = (st["warm_windows"] / st["warm_span_s"]
+                if st.get("warm_span_s") else None)
+        print(json.dumps({
+            "metric": "windows_per_sec_hostshard",
+            "value": warm if warm is not None else st["windows_ok"] / span,
+            "unit": "windows/s",
+            "stage_procs": procs,
+            "repeats": repeats,
+            "windows_ok": st["windows_ok"],
+            "span_s": round(span, 3),
+            "warm_span_s": round(st.get("warm_span_s", 0.0), 3),
+            "warm_windows": st.get("warm_windows"),
+            "cold_incl_compile_windows_per_sec":
+                round(st["windows_ok"] / span, 3),
+            "wall_incl_spawn_s": round(wall, 3),
+        }))
+        return
+
     params = Parameters()
-    params.do_diploid = True
+    # BENCH_MODE=pooled benches the VB-EM caller path (--doPooled)
+    mode = os.environ.get("BENCH_MODE", "dip")
+    if mode == "pooled":
+        params.estimate_hap_freqs = True
+    else:
+        params.do_diploid = True
     params.file_name = str(Path(d) / "out")
     eng = BatchedWindowEngine(
         [bam], fa, params,
@@ -93,6 +145,7 @@ def main():
     eng.close()
     print(json.dumps({
         "metric": "windows_per_sec",
+        "mode": mode,
         "value": s["windows_ok"] / dt,
         "unit": "windows/s",
         "windows_ok": s["windows_ok"],
