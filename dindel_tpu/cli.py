@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--doDiploid", action="store_true")
     ap.add_argument("--doPooled", action="store_true")
+    ap.add_argument("--insertPrior", action="store_true",
+                    help="enable the insert-size positional prior "
+                         "(dead code in the reference binary; see "
+                         "params_from_args)")
     ap.add_argument("--mapUnmapped", action="store_true",
                     help="remap unmapped reads for which mate is mapped "
                          "(registration commented out in the reference, "
@@ -199,6 +203,13 @@ def params_from_args(args) -> Parameters:
     p.num_output_top_hap = args.numOutputTopHap
     if args.mapUnmapped:
         p.map_unmapped_reads = True
+    if args.insertPrior:
+        # EXTENSION: the reference SOURCE computes an insert-size
+        # positional prior over the haplotype (ObservationModelFB.cpp:
+        # 279-294), but the shipped binary never enables it — the
+        # obsParams.mapUnmappedReads assignment sits in the removed-
+        # options block (DInDel.cpp:3979-3986) so the branch is dead
+        # code.  --insertPrior resurrects it explicitly.
         p.obs_params.map_unmapped_reads = True
     p.output_pooled_likelihoods = args.opl
     p.change_ins_to_n = args.changeINStoN
@@ -233,7 +244,6 @@ def main(argv=None) -> int:
         libraries = LibraryCollection()
         if args.libFile:
             params.map_unmapped_reads = True
-            params.obs_params.map_unmapped_reads = True
             libraries.add_from_file(args.libFile)
         # The batched engine pipelines host packing/decoding with device
         # slabs (the TPU production path); the streaming engine is the

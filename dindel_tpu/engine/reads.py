@@ -425,6 +425,15 @@ def _get_reads_arena(bams, tid: str, left_pos: int, right_pos: int,
             templates[i] = t
         return t
 
+    # With only the built-in single_end library loaded (no --libFile),
+    # EVERY paired read resolves to unknown_lib + the single_end
+    # fallback no matter what its RG tag says — skip the per-read aux
+    # scan entirely.  (Guarded against the pathological header that
+    # names a library literally "single_end", where the lookup would
+    # succeed and unknown_lib would differ.)
+    skip_rg = (len(libraries) == 1
+               and all("single_end" not in m.values() for m in rg2libs))
+
     def materialize_batch(idxs):
         """Survivor Reads built straight from the arena columns — no
         BamRecord, no per-field python; field-for-field identical to
@@ -432,7 +441,7 @@ def _get_reads_arena(bams, tid: str, left_pos: int, right_pos: int,
         tests/test_reads_array.py and vs the compiled reference in
         tests/test_reads_ref.py)."""
         return [_read_from_arena(refs[i], buf.cols, i, libraries,
-                                 rg2libs)
+                                 rg2libs, skip_rg)
                 for i in idxs]
 
     return _cascade_core(buf.cols, left_pos, right_pos, left_most,
@@ -486,7 +495,8 @@ class _ArenaBamView:
         return copy.copy(self._rec())
 
 
-def _read_from_arena(ref, cols, i, libraries, rg2libs) -> Read:
+def _read_from_arena(ref, cols, i, libraries, rg2libs,
+                     skip_rg=False) -> Read:
     """read_from_bam built straight from arena columns (no BamRecord):
     the clamped mapQual/base probabilities, position statistics and
     library lookup use the identical float ops and rules."""
@@ -534,16 +544,19 @@ def _read_from_arena(ref, cols, i, libraries, rg2libs) -> Read:
 
     is_paired = bool(flag & FPAIRED)
     if is_paired:
-        a0 = arena.aux_off[row]
-        a1 = arena.aux_off[row + 1]
-        rg = None
-        if a1 > a0:
-            for tag, _typ, val in _parse_tags(arena.aux_b[a0:a1], 0):
-                if tag == "RG":
-                    rg = val
-                    break
-        lib_name = rg2libs[pool].get(rg, "dindel_default") if rg \
-            else "dindel_default"
+        if skip_rg:
+            lib_name = "dindel_default"
+        else:
+            a0 = arena.aux_off[row]
+            a1 = arena.aux_off[row + 1]
+            rg = None
+            if a1 > a0:
+                for tag, _typ, val in _parse_tags(arena.aux_b[a0:a1], 0):
+                    if tag == "RG":
+                        rg = val
+                        break
+            lib_name = rg2libs[pool].get(rg, "dindel_default") if rg \
+                else "dindel_default"
     else:
         lib_name = "single_end"
     library = libraries.get(lib_name)

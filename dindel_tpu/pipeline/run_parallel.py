@@ -33,8 +33,10 @@ def _run_one(args):
     import numpy as np
     libraries = LibraryCollection()
     if lib_file:
+        # NB: obs_params.map_unmapped_reads (the insert-size positional
+        # prior) stays off — dead code in the reference binary
+        # (DInDel.cpp:3979-3986); enable via Parameters explicitly
         params.map_unmapped_reads = True
-        params.obs_params.map_unmapped_reads = True
         libraries.add_from_file(lib_file)
     params.file_name = out_prefix
     dp_impl = "pallas" if backend == "pallas" else "xla"

@@ -167,9 +167,16 @@ static bam1_t *make_rec(const string &qname, int flag, int pos, int mapq,
     return b;
 }
 
+static string g_libname;
+static const char *get_library_impl(const bam1_t *b) {
+    (void)b;
+    return g_libname.empty() ? 0 : g_libname.c_str();
+}
+
 int main() {
     bam_stub_fetch_file = fetch_file_impl;
     fai_stub_fetch = fai_fetch_impl;
+    bam_stub_get_library = get_library_impl;
 
     DetInDel::Parameters params(string("1"), string(""), "probabilistic");
     params.quiet = true;
@@ -181,6 +188,7 @@ int main() {
     int nbams = 1;
     g_files.resize(1);
     vector<string> varLines;
+    string libFile;
 
     string line;
     while (getline(cin, line)) {
@@ -228,8 +236,11 @@ int main() {
                 else if (k == "faster") params.slower = v == 0;
                 else if (k == "filterHaplotypes") params.filterHaplotypes = v != 0;
                 else if (k == "mapUnmapped") {
+                    /* the binary's obsParams.mapUnmappedReads assignment
+                     * is commented out (DInDel.cpp:3979-3986): the
+                     * insert-size positional prior stays DEAD even with
+                     * --mapUnmapped — only the getReads remapping runs */
                     params.mapUnmappedReads = v != 0;
-                    params.obsParams.mapUnmappedReads = v != 0;
                 } else if (k == "changeINStoN") params.changeINStoN = v != 0;
                 else if (k == "quiet") params.quiet = v != 0;
                 else {
@@ -242,6 +253,12 @@ int main() {
             is >> tid >> seq;
             if (g_fasta.find(tid) == g_fasta.end()) g_fasta_order.push_back(tid);
             g_fasta[tid] = seq;
+        } else if (tok == "LIBFILE") {
+            is >> libFile;
+        } else if (tok == "LIBNAME") {
+            /* every synthetic read reports this library name
+             * (Read.hpp:185-193 via the bam.h bam_get_library stub) */
+            is >> g_libname;
         } else if (tok == "NBAMS") {
             is >> nbams;
             g_files.resize(nbams);
@@ -306,6 +323,9 @@ int main() {
             params.fileName = dir + "/out";
             bam_stub_open_count = 0;  /* MyBam opens -> ordinals 0..n-1 */
             DetInDel det(bamsFile, params, 1);
+            /* insert-size libraries (DInDel.cpp:4268-4273): change the
+             * fetch-window maxDev AND the unmapped-mate position model */
+            if (!libFile.empty()) det.addLibrary(libFile);
             try {
                 det.detectIndels(varFile);
             } catch (string s) {

@@ -77,8 +77,8 @@ def set_lines(params):
 
 
 def run_reference_window(exe, params, fasta_pairs, rec_lines, var_lines,
-                         nbams=1):
-    lines = set_lines(params)
+                         nbams=1, extra_lines=()):
+    lines = set_lines(params) + list(extra_lines)
     for tid, seq in fasta_pairs:
         lines.append(f"FASTA {tid} {seq}")
     if nbams != 1:
@@ -145,18 +145,20 @@ def test_window_diploid_identical(tmp_path, seed):
     _assert_identical(ref_glf, ours)
 
 
-def test_window_pooled_identical(tmp_path):
+@pytest.mark.parametrize("program", ["singlevariant", "all", "priorpersite"])
+def test_window_pooled_identical(tmp_path, program):
     exe = ref_window_exe()
     if exe is None:
         pytest.skip("reference sources/toolchain unavailable")
     fa, bam, var_lines, tid0, seq = _sim_window_inputs(tmp_path, 13)
     params = Parameters()
     params.estimate_hap_freqs = True
+    params.bayes_type = program
     params.file_name = str(tmp_path / "ours")
     ref_glf = run_reference_window(exe, params, [(tid0, seq)],
                                    serialize_bam_recs(bam), var_lines)
     ours = _run_ours(tmp_path, [bam], fa, params, var_lines)
-    assert any("singlevariant" in l for l in ours)
+    assert any(program in l for l in ours)
     _assert_identical(ref_glf, ours)
 
 
@@ -195,6 +197,53 @@ def test_window_filterhaps_faster_identical(tmp_path):
     ref_glf = run_reference_window(exe, params, [(tid0, seq)],
                                    serialize_bam_recs(bam), var_lines)
     ours = _run_ours(tmp_path, [bam], fa, params, var_lines)
+    _assert_identical(ref_glf, ours)
+
+
+def test_window_libfile_mapunmapped_identical(tmp_path):
+    """--libFile + --mapUnmapped composed path: the insert-size library
+    changes the fetch-window maxDev (DInDel.cpp:907) and drives
+    unmapped-mate realignment; both sides load the same histogram file
+    (DInDel.cpp:4268-4273 / model.LibraryCollection.add_from_file)."""
+    exe = ref_window_exe()
+    if exe is None:
+        pytest.skip("reference sources/toolchain unavailable")
+    variants = [PlantedVariant(pos=700, var="-ACG", genotype=2),
+                PlantedVariant(pos=1500, var="+TA", genotype=1)]
+    cfg = SimConfig(ref_len=2400, coverage=18, read_len=70,
+                    unmapped_frac=0.2)
+    fa, bam = simulate(str(tmp_path / "sim"), variants, cfg, seed=29)
+    var_file, lib_file = get_candidates(bam, str(tmp_path / "cand"), fa)
+    win_files = make_windows(var_file, str(tmp_path / "win"))
+    var_lines = []
+    for wf in win_files:
+        var_lines += [l.rstrip("\n") for l in open(wf) if l.strip()]
+    ff = FastaFile(fa)
+    tid0 = ff.order[0]
+    seq = ff.get_sequence(tid0, 1, ff.index[tid0][0])
+    ff.close()
+
+    params = Parameters()
+    params.do_diploid = True
+    params.map_unmapped_reads = True
+    params.file_name = str(tmp_path / "ours")
+    ref_glf = run_reference_window(
+        exe, params, [(tid0, seq)], serialize_bam_recs(bam), var_lines,
+        extra_lines=[f"LIBFILE {lib_file}", "LIBNAME lib1"])
+
+    from dindel_tpu.model import LibraryCollection
+    lc = LibraryCollection()
+    lc.add_from_file(lib_file)
+    assert "lib1" in lc
+    allv = str(tmp_path / "allwin.txt")
+    with open(allv, "w") as f:
+        f.write("\n".join(var_lines) + "\n")
+    eng = WindowEngine([bam], fa, params, libraries=lc,
+                       hmm_backend="oracle")
+    glf_path = str(tmp_path / "ours.glf.txt")
+    eng.detect_indels(allv, glf_path)
+    eng.close()
+    ours = [l.rstrip("\n") for l in open(glf_path)]
     _assert_identical(ref_glf, ours)
 
 
