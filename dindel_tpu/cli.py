@@ -127,6 +127,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--maxPairsPerSlab", type=int, default=24576,
                     help="max (hap,read) pairs per device slab "
                          "(bounds backpointer HBM; batched engine)")
+    ap.add_argument("--stageProcs", type=int, default=0,
+                    help="N staging processes feeding this process's "
+                         "device via the intra-host device server "
+                         "(parallel/hostshard.py); --varFile may be a "
+                         "comma-separated list of window files (the "
+                         "shard unit)")
     ap.add_argument("--mesh", default=None, metavar="DPxRP",
                     help="shard the batched engine's device slabs over a "
                          "dp x rp jax.sharding.Mesh, e.g. --mesh 4x2 "
@@ -249,6 +255,21 @@ def main(argv=None) -> int:
         # slabs (the TPU production path); the streaming engine is the
         # per-window reference path (and the --faster sparse-HMM path).
         use_batched = args.engine == "batched" and params.slower
+        if use_batched and args.stageProcs > 0:
+            import numpy as np
+            from .parallel.hostshard import run_hostshard
+            win_files = args.varFile.split(",")
+            out_glf = params.file_name + ".glf.txt"
+            run_hostshard(
+                bam_paths, args.ref, params, win_files, out_glf,
+                n_procs=args.stageProcs,
+                engine_kw=dict(batch_windows=args.batchWindows,
+                               max_pairs_per_slab=args.maxPairsPerSlab,
+                               dp_impl=("pallas" if args.hmmBackend == "pallas"
+                                        else "xla"),
+                               dtype=np.float32),
+                lib_file=args.libFile)
+            return 0
         if use_batched:
             import numpy as np
             from .engine.batched import BatchedWindowEngine

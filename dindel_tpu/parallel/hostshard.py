@@ -250,7 +250,7 @@ def _staging_main(sock_path: str, bam_paths: List[str], fasta_path: str,
                   params_bytes: bytes, win_files: List[str],
                   glf_paths: List[str], engine_kw: dict,
                   err_path: str, enable_x64: bool,
-                  repeats: int = 1) -> None:
+                  repeats: int = 1, lib_file: Optional[str] = None) -> None:
     """Entry point of one staging process (forced onto CPU so it never
     touches the device; all device work goes via the proxy).  x64 is
     inherited from the parent so the host-vs-device fold routing — and
@@ -262,9 +262,14 @@ def _staging_main(sock_path: str, bam_paths: List[str], fasta_path: str,
         import pickle as _p
         from ..engine.batched import BatchedWindowEngine
         params = _p.loads(params_bytes)
+        libraries = None
+        if lib_file:
+            from ..model import LibraryCollection
+            libraries = LibraryCollection()
+            libraries.add_from_file(lib_file)
         proxy = DeviceProxy(sock_path)
         eng = BatchedWindowEngine([p for p in bam_paths], fasta_path, params,
-                                  remote=proxy, **engine_kw)
+                                  libraries, remote=proxy, **engine_kw)
         # per-process timing that EXCLUDES interpreter/jax startup, for
         # honest multi-process windows/s numbers (tools/bench_windows)
         import json
@@ -298,8 +303,8 @@ def run_hostshard(bam_paths: List[str], fasta_path: str, params,
                   win_files: List[str], out_glf: str, n_procs: int = 4,
                   engine_kw: Optional[dict] = None,
                   sock_path: Optional[str] = None,
-                  repeats: int = 1, stats_out: Optional[dict] = None
-                  ) -> List[str]:
+                  repeats: int = 1, stats_out: Optional[dict] = None,
+                  lib_file: Optional[str] = None) -> List[str]:
     """Run the window files through n_procs staging processes feeding
     this process's device, then concatenate the per-shard GLF files into
     out_glf (single header, shard rows in window-file order — byte-equal
@@ -333,7 +338,7 @@ def run_hostshard(bam_paths: List[str], fasta_path: str, params,
                 target=_staging_main,
                 args=(sock_path, bam_paths, fasta_path,
                       _p.dumps(params), files, [glf_of[f] for f in files],
-                      engine_kw, err, enable_x64, repeats))
+                      engine_kw, err, enable_x64, repeats, lib_file))
             p.start()
             procs.append(p)
         for p in procs:
