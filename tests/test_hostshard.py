@@ -16,6 +16,29 @@ from dindel_tpu.pipeline.windows import make_windows
 from dindel_tpu.sim import PlantedVariant, SimConfig, simulate
 
 
+def test_hostshard_cli(tmp_path):
+    """--stageProcs through the CLI: comma-separated --varFile, merged
+    GLF written, calls present."""
+    from dindel_tpu.cli import main as cli_main
+    variants = [PlantedVariant(pos=550 + i * 620, var="-AC", genotype=1)
+                for i in range(4)]
+    cfg = SimConfig(ref_len=560 + 4 * 620, coverage=15, read_len=70)
+    fa, bam = simulate(str(tmp_path / "sim"), variants, cfg, seed=23)
+    var_file, _ = get_candidates(bam, str(tmp_path / "cand"), fa)
+    win_files = make_windows(var_file, str(tmp_path / "win"),
+                             variants_per_file=2)
+    out = str(tmp_path / "out")
+    rc = cli_main(["--analysis", "indels", "--doDiploid",
+                   "--bamFile", bam, "--ref", fa,
+                   "--varFile", ",".join(win_files),
+                   "--outputFile", out, "--engine", "batched",
+                   "--stageProcs", "2"])
+    assert rc == 0
+    glf = open(out + ".glf.txt").read()
+    assert glf.splitlines()[0].startswith("msg index")
+    assert " dip " in glf or " dip.map " in glf
+
+
 @pytest.mark.parametrize("mode", ["dip", "pooled"])
 def test_hostshard_matches_sequential(tmp_path, mode):
     variants = [PlantedVariant(pos=550 + i * 620,
