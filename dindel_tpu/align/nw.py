@@ -378,9 +378,28 @@ def convert_alignment(ops: str, ref_seq: str, cand_seq: str) -> MLAlignment:
     return ml
 
 
+# SeqAn 1.x ascii->Dna: ACGT/acgt map to themselves, U/u to T, and EVERY
+# other byte (including 'N' — from --changeINStoN haplotypes or
+# reference-genome Ns) to 'A'
+# (seqan/basic/basic_alphabet_simple_tabs.h:137-170).
+_SEQAN_DNA = str.maketrans({
+    chr(b): ("C" if chr(b) in "Cc" else
+             "G" if chr(b) in "Gg" else
+             "T" if chr(b) in "TtUu" else
+             "A")
+    for b in range(256)})
+
+
 def align_haplotype_to_ref(ref_seq: str, cand_seq: str) -> MLAlignment:
     """ObservationModelSeqAn::align equivalent: NW + conversion; ml.ll is
-    the integer alignment score (ObservationModelSeqAn.hpp:321-346)."""
+    the integer alignment score (ObservationModelSeqAn.hpp:321-346).
+
+    Both inputs pass through seqan::DnaString construction in the
+    reference (ObservationModelSeqAn.hpp:323-324), so the alignment —
+    and the variant/align strings extracted from it — see the 4-letter
+    converted sequences (non-ACGT -> 'A')."""
+    ref_seq = ref_seq.translate(_SEQAN_DNA)
+    cand_seq = cand_seq.translate(_SEQAN_DNA)
     score, ops = gotoh_align(ref_seq, cand_seq)
     ml = convert_alignment(ops, ref_seq, cand_seq)
     ml.ll = float(score)

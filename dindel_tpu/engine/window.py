@@ -213,7 +213,13 @@ class WindowEngine:
             haps = hdi.generate_haps_with_aligned_variants(
                 candidates, p.change_ins_to_n)
             if len(haps) > p.skip_max_hap or len(haps) * len(reads) > p.max_hap_read_prod:
-                return True, [], left_pos, right_pos
+                # the late skip returns with haps FILLED
+                # (DInDel.cpp:1582-1585), so the caller's
+                # maxHapReadProd check still fires and emits the
+                # skipped_numhap_times_numread error row
+                # (DInDel.cpp:395-399) — only the early logNumHaps skip
+                # leaves haps empty
+                return True, haps, left_pos, right_pos
             left_pos = hdi.start()
             right_pos = hdi.end()
             haps, _variants = self.align_haplotypes(haps, pos, left_pos, right_pos)

@@ -247,6 +247,42 @@ def test_window_libfile_mapunmapped_identical(tmp_path):
     _assert_identical(ref_glf, ours)
 
 
+@pytest.mark.parametrize("knob", ["changeINStoN", "checkAllCIGARs0",
+                                  "smallcaps", "prodcap"])
+def test_window_quirk_knobs_identical(tmp_path, knob):
+    """Composed byte-equality under the quirk knobs: --changeINStoN
+    (inserted bases become N in haplotypes), --checkAllCIGARs 0,
+    small maxHap/skipMaxHap (the too-many-haplotypes skip path,
+    DInDel.cpp:1569-1572), and a tiny maxHapReadProd (the
+    skipped_numhap_times_numread error row, DInDel.cpp:395-399)."""
+    exe = ref_window_exe()
+    if exe is None:
+        pytest.skip("reference sources/toolchain unavailable")
+    variants = [PlantedVariant(pos=700, var="+GATC", genotype=1),
+                PlantedVariant(pos=1400, var="-AA", genotype=2)]
+    cfg = SimConfig(ref_len=2100, coverage=16, read_len=70)
+    fa, bam, var_lines, tid0, seq = _sim_window_inputs(
+        tmp_path, 41, variants=variants, cfg=cfg)
+    params = Parameters()
+    params.do_diploid = True
+    if knob == "changeINStoN":
+        params.change_ins_to_n = True
+    elif knob == "checkAllCIGARs0":
+        params.check_all_cigars = 0
+    elif knob == "smallcaps":
+        params.max_hap = 2
+        params.skip_max_hap = 3
+    elif knob == "prodcap":
+        params.max_hap_read_prod = 50
+    params.file_name = str(tmp_path / "ours")
+    ref_glf = run_reference_window(exe, params, [(tid0, seq)],
+                                   serialize_bam_recs(bam), var_lines)
+    ours = _run_ours(tmp_path, [bam], fa, params, var_lines)
+    if knob == "prodcap":
+        assert any("error_skipped_numhap" in l for l in ours)
+    _assert_identical(ref_glf, ours)
+
+
 def test_window_multibam_pooled_identical(tmp_path):
     """Pooled mode over TWO BAM files with different read streams
     (per-pool GLF rows, indidx column)."""
