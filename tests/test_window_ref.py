@@ -283,6 +283,39 @@ def test_window_quirk_knobs_identical(tmp_path, knob):
     _assert_identical(ref_glf, ours)
 
 
+@pytest.mark.parametrize("cfg_name", ["width30", "priors", "fasterpooled",
+                                      "filterpooled"])
+def test_window_param_matrix_identical(tmp_path, cfg_name):
+    """More composed parameter coverage: narrow windows (--width 30
+    changes the makeWindows geometry the engine sees), non-default
+    priors, --faster + pooled, and --filterHaplotypes + pooled."""
+    exe = ref_window_exe()
+    if exe is None:
+        pytest.skip("reference sources/toolchain unavailable")
+    fa, bam, var_lines, tid0, seq = _sim_window_inputs(tmp_path, 47)
+    params = Parameters()
+    if cfg_name == "width30":
+        params.do_diploid = True
+        params.width = 30
+    elif cfg_name == "priors":
+        params.do_diploid = True
+        params.prior_indel = 1e-3
+        params.prior_snp = 1e-2
+        params.obs_params.p_error = 1e-3
+    elif cfg_name == "fasterpooled":
+        params.estimate_hap_freqs = True
+        params.slower = False
+    elif cfg_name == "filterpooled":
+        params.estimate_hap_freqs = True
+        params.filter_haplotypes = True
+        params.bayes_type = "all"
+    params.file_name = str(tmp_path / "ours")
+    ref_glf = run_reference_window(exe, params, [(tid0, seq)],
+                                   serialize_bam_recs(bam), var_lines)
+    ours = _run_ours(tmp_path, [bam], fa, params, var_lines)
+    _assert_identical(ref_glf, ours)
+
+
 def test_window_multibam_pooled_identical(tmp_path):
     """Pooled mode over TWO BAM files with different read streams
     (per-pool GLF rows, indidx column)."""
