@@ -129,7 +129,7 @@ def _assert_identical(ref_glf, ours):
         assert a == b, f"line {i}:\nref : {a}\nours: {b}"
 
 
-@pytest.mark.parametrize("seed", [7, 23])
+@pytest.mark.parametrize("seed", [7, 23, 101, 202])
 def test_window_diploid_identical(tmp_path, seed):
     exe = ref_window_exe()
     if exe is None:
