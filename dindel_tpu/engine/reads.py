@@ -440,9 +440,10 @@ def _get_reads_arena(bams, tid: str, left_pos: int, right_pos: int,
         read_from_bam (asserted loop==array==arena in
         tests/test_reads_array.py and vs the compiled reference in
         tests/test_reads_ref.py)."""
+        stats = _batch_pos_stats([refs[i] for i in idxs])
         return [_read_from_arena(refs[i], buf.cols, i, libraries,
-                                 rg2libs, skip_rg)
-                for i in idxs]
+                                 rg2libs, skip_rg, pos_stat=st)
+                for i, st in zip(idxs, stats)]
 
     return _cascade_core(buf.cols, left_pos, right_pos, left_most,
                          right_most, params, materialize,
@@ -495,8 +496,69 @@ class _ArenaBamView:
         return copy.copy(self._rec())
 
 
+
+def _batch_pos_stats(refs_batch):
+    """computePositionStatistics for a whole survivor batch, vectorized
+    over the concatenated arena cigar columns (replaces the two
+    per-read python op loops in _read_from_arena; identical integer
+    mean accumulation and float variance fold order — np.add.reduceat
+    applies the ufunc sequentially within each segment)."""
+    out = [None] * len(refs_batch)
+    by_arena = {}
+    for j, (arena, row, _pool) in enumerate(refs_batch):
+        by_arena.setdefault(id(arena), (arena, []))[1].append((j, row))
+    for arena, items in by_arena.values():
+        js = _np.fromiter((j for j, _ in items), _np.int64, len(items))
+        rows = _np.fromiter((r for _, r in items), _np.int64, len(items))
+        starts = arena.cigar_off[rows]
+        counts = arena.cigar_off[rows + 1] - starts
+        # empty-CIGAR rows (unmapped placeholders) -> (-1, -1); they must
+        # not enter the segment math (their seg_first would index past
+        # the flat arrays)
+        nz = counts > 0
+        for j in js[~nz]:
+            out[j] = (-1.0, -1.0)
+        js = js[nz]
+        starts = starts[nz]
+        counts = counts[nz]
+        total = int(counts.sum())
+        n = len(js)
+        if total == 0:
+            continue
+        seg = _np.repeat(_np.arange(n), counts)
+        base = _np.repeat(starts, counts)
+        off = _np.arange(total) - _np.repeat(
+            _np.cumsum(counts) - counts, counts)
+        cig = _np.asarray(arena.cigar)[base + off].astype(_np.int64)
+        ops = cig & 0xF
+        lens = cig >> 4
+        isM = ops == 0
+        # p_ advances on M/D/S/H; tot on M only (both exclusive prefixes)
+        advP = _np.where((ops == 0) | (ops == 2) | (ops == 4) | (ops == 5),
+                         lens, 0)
+        advT = _np.where(isM, lens, 0)
+        cP = _np.cumsum(advP)
+        cT = _np.cumsum(advT)
+        seg_first = _np.cumsum(counts) - counts
+        pb = (cP - advP) - _np.repeat((cP - advP)[seg_first], counts)
+        tb = (cT - advT) - _np.repeat((cT - advT)[seg_first], counts)
+        mean_c = advT * (pb - tb)
+        tot = _np.add.reduceat(advT, seg_first)
+        mean = _np.add.reduceat(mean_c, seg_first)
+        has = tot > 0
+        dmean = _np.where(has, mean / _np.maximum(tot, 1), 0.0)
+        var_c = advT * ((pb - tb) - dmean[seg]) ** 2
+        var = _np.add.reduceat(var_c, seg_first)
+        for k in range(n):
+            if has[k]:
+                out[js[k]] = (float(dmean[k]), float(var[k] / tot[k]))
+            else:
+                out[js[k]] = (-1.0, -1.0)
+    return out
+
+
 def _read_from_arena(ref, cols, i, libraries, rg2libs,
-                     skip_rg=False) -> Read:
+                     skip_rg=False, pos_stat=None) -> Read:
     """read_from_bam built straight from arena columns (no BamRecord):
     the clamped mapQual/base probabilities, position statistics and
     library lookup use the identical float ops and rules."""
@@ -512,35 +574,39 @@ def _read_from_arena(ref, cols, i, libraries, rg2libs,
         arena.cigar[arena.cigar_off[row]:arena.cigar_off[row + 1]])
     pos = int(cols["pos"][i])
     # computePositionStatistics (model.mean_first_base_position) on the
-    # packed numeric ops: M=0 I=1 D=2 N=3 S=4 H=5
-    p_ = 0
-    tot = 0
-    mean = 0
-    ops = raw.tolist()
-    for v in ops:
-        op = v & 0xF
-        ln = v >> 4
-        if op == 0:
-            mean += ln * (p_ - tot)
-            tot += ln
-        if op == 0 or op == 2 or op == 4 or op == 5:
-            p_ += ln
-    if tot == 0:
-        pos_stat = (-1.0, -1.0)
-    else:
-        dmean = mean / tot
+    # packed numeric ops: M=0 I=1 D=2 N=3 S=4 H=5; batched callers pass
+    # the vectorized _batch_pos_stats result instead
+    if pos_stat is None:
         p_ = 0
         tot = 0
-        var = 0.0
+        mean = 0
+        ops = raw.tolist()
         for v in ops:
             op = v & 0xF
             ln = v >> 4
             if op == 0:
-                var += ln * ((p_ - tot) - dmean) ** 2
+                mean += ln * (p_ - tot)
                 tot += ln
             if op == 0 or op == 2 or op == 4 or op == 5:
                 p_ += ln
-        pos_stat = (dmean + pos, var / tot)
+        if tot == 0:
+            pos_stat = (-1.0, -1.0)
+        else:
+            dmean = mean / tot
+            p_ = 0
+            tot = 0
+            var = 0.0
+            for v in ops:
+                op = v & 0xF
+                ln = v >> 4
+                if op == 0:
+                    var += ln * ((p_ - tot) - dmean) ** 2
+                    tot += ln
+                if op == 0 or op == 2 or op == 4 or op == 5:
+                    p_ += ln
+            pos_stat = (dmean + pos, var / tot)
+    elif pos_stat[0] != -1.0:
+        pos_stat = (pos_stat[0] + pos, pos_stat[1])
 
     is_paired = bool(flag & FPAIRED)
     if is_paired:
