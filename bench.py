@@ -118,15 +118,23 @@ def main():
             wrec["pooled_windows_cold_wall_s"] = w.get("cold_wall_s")
     except Exception as e:
         wrec["pooled_windows_error"] = repr(e)[:200]
-    # 3) multi-process host staging (parallel/hostshard.py): 4 staging
-    # processes feeding this chip; warm = last repeat
-    try:
-        w = run_windows(["360"], {"BENCH_STAGE_PROCS": "4",
-                                  "BENCH_REPEATS": "3"})
-        wrec["hostshard_windows_per_sec"] = w.get("value")
-        wrec["hostshard_stage_procs"] = 4
-    except Exception as e:
-        wrec["hostshard_windows_error"] = repr(e)[:200]
+    # 3) multi-process host staging (parallel/hostshard.py): N staging
+    # processes feeding this chip; warm = last repeat.  N adapts to the
+    # host: oversubscribing the CPUs collapses throughput (PERF_NOTES
+    # round 5: 6 procs on a 4-core host measured 32.5 vs 74-84 at 4),
+    # so leave one core for the device-server process and skip the mode
+    # entirely when the host can't run >=2 staging procs beside it.
+    procs = max(1, min(4, (os.cpu_count() or 2) - 1))
+    if procs >= 2:
+        try:
+            w = run_windows(["360"], {"BENCH_STAGE_PROCS": str(procs),
+                                      "BENCH_REPEATS": "3"})
+            wrec["hostshard_windows_per_sec"] = w.get("value")
+            wrec["hostshard_stage_procs"] = procs
+        except Exception as e:
+            wrec["hostshard_windows_error"] = repr(e)[:200]
+    else:
+        wrec["hostshard_skipped_ncpu"] = os.cpu_count()
     return _kernel_bench(wrec)
 
 

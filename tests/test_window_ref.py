@@ -284,11 +284,18 @@ def test_window_quirk_knobs_identical(tmp_path, knob):
 
 
 @pytest.mark.parametrize("cfg_name", ["width30", "priors", "fasterpooled",
-                                      "filterpooled"])
+                                      "filterpooled", "maxread",
+                                      "overlapgates", "fastercaps",
+                                      "indelclamp"])
 def test_window_param_matrix_identical(tmp_path, cfg_name):
     """More composed parameter coverage: narrow windows (--width 30
     changes the makeWindows geometry the engine sees), non-default
-    priors, --faster + pooled, and --filterHaplotypes + pooled."""
+    priors, --faster + pooled, --filterHaplotypes + pooled, a tiny
+    --maxRead (the too-many-reads error row, fetch throw at
+    Read.hpp:402), a stricter --minReadOverlap read gate
+    (filter cascade DInDel.cpp:1043-1229), the --faster map-qual caps
+    (capMapQualFast / capMapQualThreshold, ObservationModelS), and a
+    --maxLengthIndel below a planted indel length (hap-gen clamp)."""
     exe = ref_window_exe()
     if exe is None:
         pytest.skip("reference sources/toolchain unavailable")
@@ -309,10 +316,33 @@ def test_window_param_matrix_identical(tmp_path, cfg_name):
         params.estimate_hap_freqs = True
         params.filter_haplotypes = True
         params.bayes_type = "all"
+    elif cfg_name == "maxread":
+        params.do_diploid = True
+        params.max_reads = 10
+    elif cfg_name == "overlapgates":
+        params.do_diploid = True
+        # stricter overlap requirement changes the surviving read set
+        # (and hence the libstdc++ sort permutation downstream)
+        params.min_read_overlap = 35
+    elif cfg_name == "fastercaps":
+        params.do_diploid = True
+        params.slower = False
+        params.obs_params.cap_map_qual_fast = 20.0
+        params.obs_params.map_qual_threshold = 60.0
+    elif cfg_name == "indelclamp":
+        params.do_diploid = True
+        # the CLI couples both to --maxLengthIndel (DInDel.cpp:3943),
+        # as does the refshim driver's SET line
+        params.obs_params.max_length_indel = 2
+        params.obs_params.max_length_del = 2
     params.file_name = str(tmp_path / "ours")
     ref_glf = run_reference_window(exe, params, [(tid0, seq)],
                                    serialize_bam_recs(bam), var_lines)
     ours = _run_ours(tmp_path, [bam], fa, params, var_lines)
+    if cfg_name == "maxread":
+        # the fetch-time cap (100*maxRead, Read.hpp:402) fires before
+        # the post-filter above_read_count_threshold check can
+        assert any("error_Too_many_reads_in_region" in l for l in ours)
     _assert_identical(ref_glf, ours)
 
 

@@ -19,7 +19,9 @@ sys.path.insert(0, str(REPO))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+# NOT /tmp/jax_cache: never share a compile-cache dir between axon and
+# local-CPU processes (see CLAUDE.md; FMA codegen differs)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
 
 import numpy as np
 from dindel_tpu.config import Parameters
