@@ -35,9 +35,23 @@ struct BgzfReader {
     FILE* f = nullptr;
     int64_t block_coffset = -1;   // compressed offset of loaded block
     int64_t next_coffset = 0;     // compressed offset of the next block
-    std::vector<uint8_t> ubuf;    // inflated payload of loaded block
     size_t upos = 0;
     bool eof = false;
+
+    // Inflated-block LRU cache.  The engine's sliding getReads fetch
+    // walks the SAME BGZF blocks ~(fetch span / window stride) times:
+    // each incremental fetch's .bai chunk walk starts at the enclosing
+    // 16kb linear-index entry, so adjacent windows re-read largely the
+    // same blocks.  Caching the inflate output (the dominant cost, ~0.3
+    // ms per 64KB block) turns those re-reads into pointer swaps.
+    struct Block { std::vector<uint8_t> data; int64_t next_co = 0;
+                   uint64_t stamp = 0; };
+    std::map<int64_t, Block> cache;   // keyed by compressed offset
+    uint64_t stamp_counter = 0;
+    static const size_t CACHE_MAX = 64;   // x <=64KB inflated = <=4MB
+    const std::vector<uint8_t>* ub = nullptr;  // current block payload
+
+    size_t usize() const { return ub ? ub->size() : 0; }
 
     bool open(const char* path) {
         f = fopen(path, "rb");
@@ -48,50 +62,72 @@ struct BgzfReader {
         f = nullptr;
     }
 
-    // Load and inflate the BGZF block at compressed offset `co`.
+    // Load (from cache, else read + inflate) the BGZF block at
+    // compressed offset `co`.
     bool load_block_at(int64_t co) {
         if (co == block_coffset) return true;
-        if (fseeko(f, co, SEEK_SET) != 0) return false;
-        uint8_t hdr[12];
-        if (fread(hdr, 1, 12, f) != 12) { eof = true; return false; }
-        if (!(hdr[0] == 31 && hdr[1] == 139 && hdr[2] == 8 && hdr[3] == 4))
-            return false;
-        uint16_t xlen = hdr[10] | (hdr[11] << 8);
-        std::vector<uint8_t> extra(xlen);
-        if (fread(extra.data(), 1, xlen, f) != xlen) return false;
-        int32_t bsize = -1;
-        for (size_t i = 0; i + 4 <= extra.size();) {
-            uint8_t si1 = extra[i], si2 = extra[i + 1];
-            uint16_t slen = extra[i + 2] | (extra[i + 3] << 8);
-            if (si1 == 'B' && si2 == 'C' && slen == 2)
-                bsize = (extra[i + 4] | (extra[i + 5] << 8)) + 1;
-            i += 4 + slen;
+        auto it = cache.find(co);
+        if (it == cache.end()) {
+            if (fseeko(f, co, SEEK_SET) != 0) return false;
+            uint8_t hdr[12];
+            if (fread(hdr, 1, 12, f) != 12) { eof = true; return false; }
+            if (!(hdr[0] == 31 && hdr[1] == 139 && hdr[2] == 8 &&
+                  hdr[3] == 4))
+                return false;
+            uint16_t xlen = hdr[10] | (hdr[11] << 8);
+            std::vector<uint8_t> extra(xlen);
+            if (fread(extra.data(), 1, xlen, f) != xlen) return false;
+            int32_t bsize = -1;
+            for (size_t i = 0; i + 4 <= extra.size();) {
+                uint8_t si1 = extra[i], si2 = extra[i + 1];
+                uint16_t slen = extra[i + 2] | (extra[i + 3] << 8);
+                if (si1 == 'B' && si2 == 'C' && slen == 2)
+                    bsize = (extra[i + 4] | (extra[i + 5] << 8)) + 1;
+                i += 4 + slen;
+            }
+            if (bsize < 0) return false;
+            int64_t cdata_len = (int64_t)bsize - 12 - xlen - 8;
+            if (cdata_len < 0) return false;
+            std::vector<uint8_t> cdata(cdata_len);
+            if (fread(cdata.data(), 1, cdata_len, f) != (size_t)cdata_len)
+                return false;
+            uint8_t tail[8];
+            if (fread(tail, 1, 8, f) != 8) return false;
+            uint32_t isize = tail[4] | (tail[5] << 8) | (tail[6] << 16) |
+                             ((uint32_t)tail[7] << 24);
+            Block b;
+            b.data.resize(isize);
+            if (isize > 0) {
+                z_stream zs;
+                memset(&zs, 0, sizeof(zs));
+                if (inflateInit2(&zs, -15) != Z_OK) return false;
+                zs.next_in = cdata.data();
+                zs.avail_in = (uInt)cdata_len;
+                zs.next_out = b.data.data();
+                zs.avail_out = isize;
+                int rc = inflate(&zs, Z_FINISH);
+                inflateEnd(&zs);
+                if (rc != Z_STREAM_END) return false;
+            }
+            b.next_co = co + bsize;
+            if (cache.size() >= CACHE_MAX) {
+                // evict the least-recently-used entry; never the block
+                // `ub` currently points into (its map node must stay)
+                auto victim = cache.end();
+                for (auto c = cache.begin(); c != cache.end(); ++c) {
+                    if (c->first == block_coffset) continue;
+                    if (victim == cache.end() ||
+                        c->second.stamp < victim->second.stamp)
+                        victim = c;
+                }
+                if (victim != cache.end()) cache.erase(victim);
+            }
+            it = cache.emplace(co, std::move(b)).first;
         }
-        if (bsize < 0) return false;
-        int64_t cdata_len = (int64_t)bsize - 12 - xlen - 8;
-        if (cdata_len < 0) return false;
-        std::vector<uint8_t> cdata(cdata_len);
-        if (fread(cdata.data(), 1, cdata_len, f) != (size_t)cdata_len)
-            return false;
-        uint8_t tail[8];
-        if (fread(tail, 1, 8, f) != 8) return false;
-        uint32_t isize = tail[4] | (tail[5] << 8) | (tail[6] << 16) |
-                         ((uint32_t)tail[7] << 24);
-        ubuf.resize(isize);
-        if (isize > 0) {
-            z_stream zs;
-            memset(&zs, 0, sizeof(zs));
-            if (inflateInit2(&zs, -15) != Z_OK) return false;
-            zs.next_in = cdata.data();
-            zs.avail_in = (uInt)cdata_len;
-            zs.next_out = ubuf.data();
-            zs.avail_out = isize;
-            int rc = inflate(&zs, Z_FINISH);
-            inflateEnd(&zs);
-            if (rc != Z_STREAM_END) return false;
-        }
+        it->second.stamp = ++stamp_counter;
+        ub = &it->second.data;
         block_coffset = co;
-        next_coffset = co + bsize;
+        next_coffset = it->second.next_co;
         upos = 0;
         return true;
     }
@@ -101,7 +137,7 @@ struct BgzfReader {
         int64_t co = next_coffset;
         while (true) {
             if (!load_block_at(co)) { eof = true; return false; }
-            if (!ubuf.empty()) return true;   // skip empty (EOF-marker) blocks
+            if (usize() != 0) return true;  // skip empty (EOF-marker) blocks
             co = next_coffset;
         }
     }
@@ -110,11 +146,11 @@ struct BgzfReader {
     size_t read(uint8_t* out, size_t n) {
         size_t got = 0;
         while (got < n) {
-            if (block_coffset < 0 || upos >= ubuf.size()) {
+            if (block_coffset < 0 || upos >= usize()) {
                 if (!next_block()) break;
             }
-            size_t take = std::min(n - got, ubuf.size() - upos);
-            memcpy(out + got, ubuf.data() + upos, take);
+            size_t take = std::min(n - got, usize() - upos);
+            memcpy(out + got, ub->data() + upos, take);
             upos += take;
             got += take;
         }
@@ -123,7 +159,7 @@ struct BgzfReader {
 
     int64_t tell_virtual() {
         if (block_coffset < 0) return next_coffset << 16;
-        if (upos >= ubuf.size()) return next_coffset << 16;
+        if (upos >= usize()) return next_coffset << 16;
         return (block_coffset << 16) | (int64_t)upos;
     }
 
@@ -131,7 +167,7 @@ struct BgzfReader {
         int64_t co = vo >> 16;
         size_t uo = (size_t)(vo & 0xFFFF);
         if (!load_block_at(co)) return false;
-        if (uo > ubuf.size()) return false;
+        if (uo > usize()) return false;
         upos = uo;
         eof = false;
         return true;
